@@ -1,0 +1,15 @@
+"""tscd_tpu — TPU-native video object detection framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+Video-Object-Detection/TSCD (YOLOX + YOLOV + TSCD spatiotemporal
+context-aware decoupling), designed TPU-first:
+
+- NHWC tensor layout, bfloat16 compute, fp32 params/BN stats.
+- Static shapes everywhere: fixed proposal count P with validity masks
+  replaces the reference's ragged per-frame NMS survivors.
+- SimOTA, NMS, Hungarian matching all run on-device with no host syncs.
+- Data parallelism via jax.sharding.Mesh + pjit; BN is sync-BN by
+  construction (global-batch reductions under jit).
+"""
+
+__version__ = "0.1.0"

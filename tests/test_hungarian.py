@@ -1,0 +1,42 @@
+import numpy as np
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment as scipy_lsa
+
+from tscd_tpu.ops.hungarian import (linear_sum_assignment,
+                                    masked_linear_sum_assignment)
+
+
+def test_matches_scipy_random():
+    rng = np.random.default_rng(0)
+    for n in [2, 5, 16, 30]:
+        for _ in range(5):
+            c = rng.uniform(0, 2, (n, n)).astype(np.float32)
+            ours = np.asarray(linear_sum_assignment(jnp.asarray(c)))
+            rows, cols = scipy_lsa(c)
+            # optimal total cost must agree (assignment may differ on ties)
+            np.testing.assert_allclose(
+                c[np.arange(n), ours].sum(), c[rows, cols].sum(), rtol=1e-5)
+            assert len(set(ours.tolist())) == n  # valid permutation
+
+
+def test_identity_cost():
+    c = 1.0 - np.eye(4, dtype=np.float32)
+    ours = np.asarray(linear_sum_assignment(jnp.asarray(c)))
+    assert ours.tolist() == [0, 1, 2, 3]
+
+
+def test_masked_assignment_valid_to_valid():
+    rng = np.random.default_rng(1)
+    n = 8
+    c = rng.uniform(0, 2, (n, n)).astype(np.float32)
+    rv = np.array([True] * 5 + [False] * 3)
+    cv = np.array([True] * 5 + [False] * 3)
+    ours = np.asarray(masked_linear_sum_assignment(
+        jnp.asarray(c), jnp.asarray(rv), jnp.asarray(cv)))
+    # valid rows must map to valid cols, invalid to invalid
+    assert all(ours[i] < 5 for i in range(5))
+    assert all(ours[i] >= 5 for i in range(5, 8))
+    # and the valid-valid block is optimal
+    sub_rows, sub_cols = scipy_lsa(c[:5, :5])
+    np.testing.assert_allclose(c[np.arange(5), ours[:5]].sum(),
+                               c[sub_rows, sub_cols].sum(), rtol=1e-5)

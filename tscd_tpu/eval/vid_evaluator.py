@@ -1,0 +1,146 @@
+"""Video evaluator (reference: yolox/evaluators/vid_evaluator_v2.py:41 and
+ovis_evaluator_v2.py:36 — they differ only in the category table).
+
+Iterates sequence windows, computes the `resume` flag from the frame index
+(first frame of a video resets the matcher bank, :255-258), collects
+refined detections into COCO-format dicts, and scores with the COCO
+evaluator. Reports AP50-95/AP50, per-class tables, and the same
+"Average forward/NMS/inference time" accounting (:429-439) that is the
+frames/sec oracle for BASELINE.md.
+"""
+
+import io
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .coco_api import COCO
+from .cocoeval import COCOeval
+from ..data.vid import VID_CLASSES
+
+
+class VIDEvaluator:
+    def __init__(self, dataloader, img_size=(576, 576), confthre=0.001,
+                 nmsthre=0.5, num_classes=30,
+                 class_names: Optional[Sequence[str]] = None,
+                 lframe=1, gframe=31, first_frame_index: int = 0):
+        self.dataloader = dataloader
+        self.img_size = img_size
+        self.confthre = confthre
+        self.nmsthre = nmsthre
+        self.num_classes = num_classes
+        self.class_names = list(class_names or VID_CLASSES[:num_classes])
+        self.lframe = lframe
+        self.gframe = gframe
+        self.first_frame_index = first_frame_index
+
+    def evaluate(self, predict_fn: Callable, log=print) -> Dict:
+        """predict_fn(imgs (F,H,W,3), time_emb (F,256), resume: bool,
+        state) -> (dets_per_local_frame, new_state) where
+        dets_per_local_frame is a list of numpy arrays
+        (K, 7): x1,y1,x2,y2,obj,score,cls with a validity convention of
+        score > 0 rows only."""
+        data_list: List[dict] = []
+        gt_annotations: List[dict] = []
+        images: List[dict] = []
+        ann_id = 1
+        image_id = 0
+        n_samples = 0
+        forward_time = 0.0
+        state = None
+
+        for batch in self.dataloader:
+            imgs = batch["imgs"]
+            te = batch["time_embedding"]
+            # resume = continuation of the same video (reference :255-258):
+            # a window whose first local frame index != 0 continues
+            first_idx = self._first_frame_idx(batch)
+            resume = first_idx != self.first_frame_index
+            t0 = time.time()
+            dets_frames, state = predict_fn(imgs, te, resume, state)
+            forward_time += time.time() - t0
+            n_samples += len(dets_frames)
+
+            for f, dets in enumerate(dets_frames):
+                img_h, img_w = batch["infos"][f]
+                scale = min(self.img_size[0] / img_h,
+                            self.img_size[1] / img_w)
+                images.append({"id": image_id, "width": img_w,
+                               "height": img_h,
+                               "file_name": batch["paths"][f]})
+                # predictions
+                for row in dets:
+                    x1, y1, x2, y2, obj, score, cls = row[:7]
+                    s = float(obj) * float(score)
+                    if s <= 0:
+                        continue
+                    bb = [float(x1) / scale, float(y1) / scale,
+                          float(x2 - x1) / scale, float(y2 - y1) / scale]
+                    data_list.append({
+                        "image_id": image_id,
+                        "category_id": int(cls) + 1,
+                        "bbox": bb, "score": s,
+                    })
+                # ground truth (labels are [cls, x1, y1, x2, y2] scaled)
+                for lab in batch["labels"][f]:
+                    if lab[1:].sum() == 0:
+                        continue
+                    x1, y1, x2, y2 = (lab[1] / scale, lab[2] / scale,
+                                      lab[3] / scale, lab[4] / scale)
+                    gt_annotations.append({
+                        "id": ann_id, "image_id": image_id,
+                        "category_id": int(lab[0]) + 1,
+                        "bbox": [float(x1), float(y1),
+                                 float(x2 - x1), float(y2 - y1)],
+                        "area": float((x2 - x1) * (y2 - y1)),
+                        "iscrowd": 0,
+                    })
+                    ann_id += 1
+                image_id += 1
+
+        if not data_list:
+            log("no predictions")
+            return {"mAP": 0.0, "AP50": 0.0}
+
+        gt = COCO({
+            "images": images,
+            "categories": [{"id": i + 1, "name": n}
+                           for i, n in enumerate(self.class_names)],
+            "annotations": gt_annotations,
+        })
+        dt = gt.loadRes(data_list)
+        e = COCOeval(gt, dt, "bbox")
+        e.evaluate()
+        e.accumulate()
+        stats = e.summarize()
+        avg_ms = 1000 * forward_time / max(n_samples, 1)
+        log(f"mAP 0.5:0.95 = {stats[0]:.4f}  AP50 = {stats[1]:.4f}")
+        log(f"Average inference time: {avg_ms:.2f} ms/frame "
+            f"({1000.0 / max(avg_ms, 1e-9):.1f} fps)")
+        per_class = e.per_class_ap(iouThr=0.5)
+        return {"mAP": float(stats[0]), "AP50": float(stats[1]),
+                "per_class_AP50": per_class, "ms_per_frame": avg_ms,
+                "stats": stats.tolist()}
+
+    def _first_frame_idx(self, batch) -> int:
+        p = batch["paths"][0]
+        import os
+        stem = os.path.splitext(os.path.basename(p))[0]
+        digits = "".join(c for c in stem.split("_")[-1] if c.isdigit())
+        return int(digits) if digits else 0
+
+
+OVIS_CLASSES = [
+    "Person", "Bird", "Cat", "Dog", "Horse", "Sheep", "Cow", "Elephant",
+    "Bear", "Zebra", "Giraffe", "Poultry", "Giant_panda", "Lizard",
+    "Parrot", "Monkey", "Rabbit", "Tiger", "Fish", "Turtle", "Bicycle",
+    "Motorcycle", "Airplane", "Boat", "Vehical"]
+
+
+class OVISEvaluator(VIDEvaluator):
+    def __init__(self, dataloader, img_size=(576, 576), confthre=0.001,
+                 nmsthre=0.5, num_classes=25, lframe=8, gframe=24, **kw):
+        super().__init__(dataloader, img_size, confthre, nmsthre,
+                         num_classes, OVIS_CLASSES[:num_classes],
+                         lframe, gframe, **kw)

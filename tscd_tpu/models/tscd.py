@@ -1,0 +1,83 @@
+"""TSCD top model (reference: yolox/models/tscd.py:11).
+
+Backbone (YOLOPAFPN) + TSCDHead over a frame window. The eval-time final
+postprocess (replace scores/boxes with refined predictions, NMS) lives in
+`tscd_eval_postprocess` so the jitted forward stays a pure function.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.postprocess import Detections, postprocess_refined
+from .matching import MatcherState
+from .pafpn import YOLOPAFPN
+from .tscd_head import TSCDHead
+
+
+class TSCD(nn.Module):
+    num_classes: int = 30
+    depth: float = 1.0
+    width: float = 1.0
+    act: str = "silu"
+    depthwise: bool = False
+    num_proposals: int = 50
+    heads: int = 4
+    reconf: bool = True
+    decouple_reg: bool = True
+    use_pre_nms: bool = False
+    sim_thresh: float = 0.75
+    test_conf: float = 0.001
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = YOLOPAFPN(self.depth, self.width, act=self.act,
+                                  depthwise=self.depthwise, dtype=self.dtype)
+        self.head = TSCDHead(
+            num_classes=self.num_classes, width=self.width, act=self.act,
+            depthwise=self.depthwise, heads=self.heads,
+            num_proposals=self.num_proposals, reconf=self.reconf,
+            decouple_reg=self.decouple_reg, use_pre_nms=self.use_pre_nms,
+            sim_thresh=self.sim_thresh, test_conf=self.test_conf,
+            dtype=self.dtype)
+
+    def __call__(self, x: jax.Array, time_embedding: jax.Array,
+                 lframe: int, gframe: int, train: bool = False,
+                 matcher_state: Optional[MatcherState] = None):
+        """x: (F, H, W, 3) frame window [local..., global...];
+        time_embedding: (F, 256)."""
+        fpn_outs = self.backbone(x, train)
+        return self.head(fpn_outs, time_embedding, lframe, gframe,
+                         train=train, matcher_state=matcher_state)
+
+
+def tscd_eval_postprocess(head_out, lframe: int, num_classes: int,
+                          nms_thresh: float = 0.5, conf_thre: float = 0.001,
+                          out_k: int = 100):
+    """Final eval postprocess for the refined predictions
+    (reference tscd_head.py:726 -> post_process.py:9): per local frame,
+    replace obj with sigmoid(matcher_obj), class scores with
+    sigmoid(refined cls), boxes with the matcher-decoded boxes, then
+    class-aware NMS. Returns (refined Detections, original Detections)
+    batched over local frames."""
+    props = head_out["proposals"]
+    cls_scores_ref = jax.nn.sigmoid(
+        head_out["refined_cls_logits"].astype(jnp.float32))    # (L, P, C)
+    if "matcher_obj_logits" in head_out:
+        obj_ref = jax.nn.sigmoid(
+            head_out["matcher_obj_logits"].astype(jnp.float32))  # (L, P)
+    else:
+        obj_ref = props.obj[:lframe]
+    boxes_ref = head_out.get("refined_boxes", props.boxes[:lframe])
+
+    def one(boxes, obj, cls_scores, valid):
+        return postprocess_refined(boxes, obj, cls_scores, valid,
+                                   conf_thre, nms_thresh, out_k)
+
+    refined = jax.vmap(one)(boxes_ref, obj_ref, cls_scores_ref,
+                            props.valid[:lframe])
+    original = jax.vmap(one)(props.boxes[:lframe], props.obj[:lframe],
+                             props.cls_scores[:lframe], props.valid[:lframe])
+    return refined, original

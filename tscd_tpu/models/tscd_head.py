@@ -1,0 +1,270 @@
+"""TSCD head (reference: yolox/models/tscd_head.py:26 — 1916 LoC there).
+
+TPU-first redesign of the centerpiece. Differences from the reference that
+are architectural (not behavioral):
+
+- Fixed P proposal slots per frame with validity masks replace the ragged
+  `preds_per_frame` bookkeeping (the reference's `minimal_limit` top-up,
+  tscd_head.py:1592-1607, already pins the count in practice).
+- Proposal selection, feature gather, MCA aggregation, Hungarian matching
+  and refined decoding are all fixed-shape jit-compatible ops — the whole
+  eval step is ONE compiled XLA program with zero host syncs.
+- The matcher's temporal bank is an explicit `MatcherState` carry
+  (see tscd_tpu.models.matching), so streaming eval threads it between
+  steps and `resume=False` just means "pass a fresh state".
+- Losses live in `tscd_tpu.train.losses.tscd_loss` as a pure function of
+  the head outputs (the reference interleaves loss code in forward).
+
+Structure mirrored: stems + cls/reg towers + extra video towers
+(`cls_convs2`/`reg_convs2`, :240-281 — gated by vid_cls/vid_reg), per-level
+WaveletsHFBlock edge extractor on the reg branch (:206-212), MCA cls
+aggregator (`agg`, :104), decoupled reg aggregator (`agg_iou`, :113),
+`RegMatcher` (:120), `fc_reg_matcher` (:123), `TaskAligned` (:128),
+refined heads `cls_pred`/`matcher_obj_pred`/`matcher_reg_pred` (:130-133).
+"""
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.boxes import box_cxcywh_to_xyxy
+from ..ops.decode import decode_outputs
+from ..ops.nms import batched_class_aware_nms
+from ..ops.wavelets import WaveletsHFBlock
+from .aggregation import MCAg2l
+from .blocks import BaseConv, DWConv
+from .matching import MatcherState, RegMatcher, TaskAligned, init_matcher_state
+from .yolo_head import flatten_levels
+
+
+class FrameProposals(NamedTuple):
+    boxes: jax.Array       # (F, P, 4) xyxy pixels (still-detector boxes)
+    obj: jax.Array         # (F, P) sigmoided objectness
+    cls_conf: jax.Array    # (F, P) best class prob
+    cls_id: jax.Array      # (F, P)
+    cls_scores: jax.Array  # (F, P, C)
+    idx: jax.Array         # (F, P) anchor index of each proposal
+    valid: jax.Array       # (F, P) bool
+
+
+def select_frame_proposals(decoded: jax.Array, num_classes: int, p: int,
+                           conf_thresh: float, nms_thre: float,
+                           use_pre_nms: bool, minimal_limit: int
+                           ) -> FrameProposals:
+    """Fixed-P proposal selection per frame (postprocess_widx,
+    tscd_head.py:1546): score = obj * best-class prob; conf threshold with
+    top-up to `minimal_limit`; optional class-aware NMS. vmapped over F."""
+
+    def one(dec):
+        boxes = box_cxcywh_to_xyxy(dec[:, :4])
+        obj = dec[:, 4]
+        cls_scores = dec[:, 5:5 + num_classes]
+        cls_conf = jnp.max(cls_scores, -1)
+        cls_id = jnp.argmax(cls_scores, -1)
+        score = obj * cls_conf
+        passing = score >= conf_thresh
+        if use_pre_nms:
+            pre = min(750, boxes.shape[0])
+            top_s, top_i = jax.lax.top_k(jnp.where(passing, score, -jnp.inf),
+                                         pre)
+            keep = batched_class_aware_nms(
+                boxes[top_i], top_s, cls_id[top_i], top_s > -jnp.inf,
+                nms_thre)
+            surv = jnp.where(keep, top_s, -jnp.inf)
+            out_s, pick = jax.lax.top_k(surv, p)
+            idx = top_i[pick]
+            valid = out_s > -jnp.inf
+        else:
+            out_s, idx = jax.lax.top_k(score, p)
+            valid = (out_s >= conf_thresh) | (jnp.arange(p) < minimal_limit)
+        return FrameProposals(boxes[idx], obj[idx], cls_conf[idx],
+                              cls_id[idx], cls_scores[idx], idx, valid)
+
+    return jax.vmap(one)(decoded)
+
+
+def decode_reg_offsets(offsets: jax.Array, still_boxes: jax.Array,
+                       clip: float = math.log(736.0 / 32)) -> jax.Array:
+    """dx/dy/dw/dh offsets + still-detector xyxy boxes -> refined xyxy
+    (decode_reg_preds5, tscd_head.py:914)."""
+    w = still_boxes[..., 2] - still_boxes[..., 0]
+    h = still_boxes[..., 3] - still_boxes[..., 1]
+    cx = still_boxes[..., 0] + 0.5 * w
+    cy = still_boxes[..., 1] + 0.5 * h
+    dx, dy = offsets[..., 0], offsets[..., 1]
+    dw = jnp.minimum(offsets[..., 2], clip)
+    dh = jnp.minimum(offsets[..., 3], clip)
+    pcx = dx * w + cx
+    pcy = dy * h + cy
+    pw = jnp.exp(dw) * w
+    ph = jnp.exp(dh) * h
+    return jnp.stack([pcx - 0.5 * pw, pcy - 0.5 * ph,
+                      pcx + 0.5 * pw, pcy + 0.5 * ph], axis=-1)
+
+
+def encode_reg_targets(gt_cxcywh: jax.Array, still_boxes: jax.Array,
+                       eps: float = 1e-8) -> jax.Array:
+    """Inverse of decode_reg_offsets (encode_reg_preds, tscd_head.py:951)."""
+    w = still_boxes[..., 2] - still_boxes[..., 0]
+    h = still_boxes[..., 3] - still_boxes[..., 1]
+    cx = still_boxes[..., 0] + 0.5 * w
+    cy = still_boxes[..., 1] + 0.5 * h
+    dx = (gt_cxcywh[..., 0] - cx) / w
+    dy = (gt_cxcywh[..., 1] - cy) / h
+    dw = jnp.log(gt_cxcywh[..., 2] / w + eps)
+    dh = jnp.log(gt_cxcywh[..., 3] / h + eps)
+    return jnp.stack([dx, dy, dw, dh], axis=-1)
+
+
+class TSCDHead(nn.Module):
+    num_classes: int
+    width: float = 1.0
+    strides: Sequence[int] = (8, 16, 32)
+    in_channels: Sequence[int] = (256, 512, 1024)
+    act: str = "silu"
+    depthwise: bool = False
+    heads: int = 4
+    num_proposals: int = 50          # Afternum/minimal_limit merged: fixed P
+    pre_nms: float = 0.75
+    sim_thresh: float = 0.75
+    ave: bool = True
+    test_conf: float = 0.001
+    use_mask: bool = False
+    use_pre_nms: bool = False        # TSCD-Large: False (vid_tscd_large.py)
+    reconf: bool = True
+    decouple_reg: bool = True
+    vid_cls: bool = True
+    vid_reg: bool = True
+    prior_prob: float = 1e-2
+    dtype: Any = jnp.float32
+
+    def _bias_init(self):
+        b = -math.log((1 - self.prior_prob) / self.prior_prob)
+        return nn.initializers.constant(b)
+
+    @nn.compact
+    def __call__(self, xin: Sequence[jax.Array], time_embedding: jax.Array,
+                 lframe: int, gframe: int, train: bool = False,
+                 matcher_state: Optional[MatcherState] = None
+                 ) -> Dict[str, Any]:
+        """xin: 3 FPN levels, each (F, h, w, c), frames [local..., global...].
+        time_embedding: (F, 256). Returns a dict of raw + refined outputs
+        plus the new matcher state."""
+        Conv = DWConv if self.depthwise else BaseConv
+        hidden = int(256 * self.width)
+        dt = self.dtype
+        C = self.num_classes
+        P = self.num_proposals
+
+        level_outputs, hw = [], []
+        cls_vid_feats, reg_vid_feats, edge_feats = [], [], []
+        for k, x in enumerate(xin):
+            hw.append((x.shape[1], x.shape[2]))
+            x = BaseConv(hidden, 1, 1, act=self.act, dtype=dt,
+                         name=f"stem_{k}")(x, train)
+            cls_f = x
+            reg_f = x
+            for i in range(2):
+                cls_f = Conv(hidden, 3, 1, act=self.act, dtype=dt,
+                             name=f"cls_conv_{k}_{i}")(cls_f, train)
+                reg_f = Conv(hidden, 3, 1, act=self.act, dtype=dt,
+                             name=f"reg_conv_{k}_{i}")(reg_f, train)
+            cls_out = nn.Conv(C, (1, 1), dtype=dt, bias_init=self._bias_init(),
+                              name=f"cls_pred_{k}")(cls_f)
+            reg_out = nn.Conv(4, (1, 1), dtype=dt, name=f"reg_pred_{k}")(reg_f)
+            obj_out = nn.Conv(1, (1, 1), dtype=dt, bias_init=self._bias_init(),
+                              name=f"obj_pred_{k}")(reg_f)
+            level_outputs.append(
+                jnp.concatenate([reg_out, obj_out, cls_out], -1))
+
+            # extra video towers (tscd_head.py:240-281)
+            if self.vid_cls:
+                v = x
+                for i in range(2):
+                    v = Conv(hidden, 3, 1, act=self.act, dtype=dt,
+                             name=f"cls_conv2_{k}_{i}")(v, train)
+                cls_vid_feats.append(v)
+            else:
+                cls_vid_feats.append(cls_f)
+            if self.vid_reg:
+                vr = x
+                for i in range(2):
+                    vr = Conv(hidden, 3, 1, act=self.act, dtype=dt,
+                              name=f"reg_conv2_{k}_{i}")(vr, train)
+                reg_vid_feats.append(vr)
+            else:
+                reg_vid_feats.append(reg_f)
+            edge_feats.append(WaveletsHFBlock(dtype=dt,
+                                              name=f"edge_{k}")(reg_vid_feats[-1]))
+
+        raw_outputs = flatten_levels(level_outputs)       # (F, A, 5+C)
+        cls_feat = flatten_levels(cls_vid_feats)          # (F, A, hid)
+        reg_feat = flatten_levels(reg_vid_feats)
+        edge_feat = flatten_levels(edge_feats)
+
+        raw32 = raw_outputs.astype(jnp.float32)
+        dec = decode_outputs(raw32, hw, self.strides)
+        decoded = jnp.concatenate(
+            [dec[..., :4], jax.nn.sigmoid(dec[..., 4:])], -1)
+
+        props = select_frame_proposals(
+            jax.lax.stop_gradient(decoded), C, P, self.test_conf,
+            self.pre_nms, self.use_pre_nms, P)
+
+        out: Dict[str, Any] = {
+            "raw_outputs": raw_outputs, "hw": hw, "decoded": decoded,
+            "proposals": props, "matcher_state": matcher_state,
+        }
+
+        # gather per-proposal features (find_feature_score, :976)
+        take = jax.vmap(lambda feats, idx: feats[idx])
+        f_cls = take(cls_feat, props.idx)                 # (F, P, hid)
+        f_reg = take(reg_feat, props.idx)
+        f_edge = take(edge_feat, props.idx)
+
+        # cross-frame aggregation: cls branch (:480) and reg branch (:491)
+        agg_cls, _ = MCAg2l(4 * hidden, self.heads, reconf=False, dtype=dt,
+                            name="agg")(
+            f_cls, f_reg, props.cls_conf, props.obj, props.valid, lframe,
+            sim_thresh=self.sim_thresh, ave=self.ave, use_mask=self.use_mask)
+
+        if self.decouple_reg:
+            agg_iou_cls, agg_obj = MCAg2l(4 * hidden, self.heads, reconf=True,
+                                          dtype=dt, name="agg_iou")(
+                f_cls, f_reg, props.cls_conf, props.obj, props.valid, lframe,
+                sim_thresh=self.sim_thresh, ave=self.ave,
+                use_mask=self.use_mask)
+
+            if matcher_state is None:
+                matcher_state = init_matcher_state(P, hidden, 4 * hidden,
+                                                   dtype=dt)
+            matched, new_state = RegMatcher(
+                num_heads=8, num_layers=1, dtype=dt, name="local_reg_matcher")(
+                f_reg[:lframe], agg_obj, agg_iou_cls, f_edge[:lframe],
+                time_embedding[:lframe].astype(dt), props.valid[:lframe],
+                matcher_state)
+            out["matcher_state"] = new_state
+
+            matched4 = nn.Dense(4 * hidden, dtype=dt,
+                                name="fc_reg_matcher")(matched)  # (L, P, 4h)
+            obj_refined = TaskAligned(num_heads=8, num_layers=1, dtype=dt,
+                                      name="task_aligned")(
+                matched4, agg_obj, props.valid[:lframe])
+
+            if self.reconf:
+                out["matcher_obj_logits"] = nn.Dense(
+                    1, dtype=dt, name="matcher_obj_pred")(obj_refined)[..., 0]
+                out["matcher_reg_offsets"] = nn.Dense(
+                    4, dtype=dt, name="matcher_reg_pred")(matched4)
+
+        out["refined_cls_logits"] = nn.Dense(C, dtype=dt,
+                                             name="cls_pred")(agg_cls)
+
+        if "matcher_reg_offsets" in out:
+            out["refined_boxes"] = decode_reg_offsets(
+                out["matcher_reg_offsets"].astype(jnp.float32),
+                props.boxes[:lframe])
+        return out

@@ -1,0 +1,74 @@
+"""Haar DWT/IDWT and the high-frequency edge block.
+
+Reference: yolox/models/surrounding_extraction.py — DWT_2D/IDWT_2D built
+from pywt Haar filters as grouped strided conv2d (:12-128), and
+WaveletsHFBlock (:215): zero the LF band, 1x1-conv+ReLU the HF bands,
+inverse transform, and gate a 3x3-conv'd content map by the edge map.
+
+TPU redesign: a Haar DWT is a 2x2 space-to-depth followed by a fixed
+4x4 orthogonal mix of the four phases — pure reshapes plus one tiny
+matmul, which XLA fuses; no conv needed, no pywt dependency. NHWC.
+
+  LL = (a + b + c + d) / 2     (a=TL, b=TR, c=BL, d=BR of each 2x2 block)
+  LH = (-a - b + c + d) / 2    (vertical detail)
+  HL = (-a + b - c + d) / 2    (horizontal detail)
+  HH = (a - b - c + d) / 2
+
+which equals the reference's conv-based DWT with filters
+ll=[[.5,.5],[.5,.5]], lh=[[-.5,-.5],[.5,.5]], hl=[[-.5,.5],[-.5,.5]],
+hh=[[.5,-.5],[-.5,.5]]. The inverse is the transpose (orthonormal).
+"""
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def haar_dwt2d(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(B, H, W, C) -> (LL, LH, HL, HH) each (B, H/2, W/2, C)."""
+    a = x[:, 0::2, 0::2, :]  # top-left
+    b = x[:, 0::2, 1::2, :]  # top-right
+    c = x[:, 1::2, 0::2, :]  # bottom-left
+    d = x[:, 1::2, 1::2, :]  # bottom-right
+    ll = (a + b + c + d) * 0.5
+    lh = (-a - b + c + d) * 0.5
+    hl = (-a + b - c + d) * 0.5
+    hh = (a - b - c + d) * 0.5
+    return ll, lh, hl, hh
+
+
+def haar_idwt2d(ll: jax.Array, lh: jax.Array, hl: jax.Array,
+                hh: jax.Array) -> jax.Array:
+    """Inverse of haar_dwt2d: 4 bands (B, h, w, C) -> (B, 2h, 2w, C)."""
+    a = (ll - lh - hl + hh) * 0.5
+    b = (ll - lh + hl - hh) * 0.5
+    c = (ll + lh - hl - hh) * 0.5
+    d = (ll + lh + hl + hh) * 0.5
+    bsz, h, w, ch = ll.shape
+    out = jnp.stack([jnp.stack([a, b], axis=3),
+                     jnp.stack([c, d], axis=3)], axis=2)
+    # (B, h, 2, w, 2, C) -> (B, 2h, 2w, C)
+    return out.reshape(bsz, h * 2, w * 2, ch)
+
+
+class WaveletsHFBlock(nn.Module):
+    """Edge-feature extractor on the reg branch
+    (surrounding_extraction.py:215)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ch = x.shape[-1]
+        ll, lh, hl, hh = haar_dwt2d(x)
+        hf = jnp.concatenate([lh, hl, hh], axis=-1)
+        hf = nn.Conv(ch * 3, (1, 1), dtype=self.dtype, name="filter1")(hf)
+        hf = jax.nn.relu(hf)
+        lh2, hl2, hh2 = jnp.split(hf, 3, axis=-1)
+        edge = haar_idwt2d(jnp.zeros_like(ll), lh2, hl2, hh2)
+        content = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
+                          dtype=self.dtype, name="filter2")(x)
+        content = jax.nn.relu(content)
+        return content * edge

@@ -34,6 +34,106 @@ def labels_to_padded(labels: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array
     return labels[..., 1:5], labels[..., 0].astype(jnp.int32), valid
 
 
+def smooth_l1(x: jax.Array, beta: float = 1.0) -> jax.Array:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
+              lframe: int) -> Dict[str, jax.Array]:
+    """TSCD refined losses (reference tscd_head.py:1008
+    get_matcher_refined_losses, ota_mode/reconf path of vid_tscd_large):
+
+      total = 3*iou + obj + cls            (base detector, all frames)
+            + refined_cls_bce              (MCA cls refinement, local)
+            + matched_obj_bce (clip 15)    (matcher obj, local)
+            + 6 * smooth_l1(reg offsets)   (matcher reg vs encoded gt)
+      all normalized by num_fg (base) / num_fg_local (refined terms).
+
+    Refined targets come straight from the per-anchor SimOTA output
+    gathered at the proposal anchor indices (the fixed-shape equivalent of
+    the reference's ota_idx reorder bookkeeping, tscd_head.py:540-609).
+    """
+    from ..models.tscd_head import encode_reg_targets
+
+    raw = head_out["raw_outputs"].astype(jnp.float32)      # (F, A, 5+C)
+    hw = head_out["hw"]
+    props = head_out["proposals"]
+    num_classes = raw.shape[-1] - 5
+
+    decoded = decode_outputs(raw, hw, strides)
+    bbox_preds = decoded[..., :4]
+    obj_logits = raw[..., 4]
+    cls_logits = raw[..., 5:]
+
+    gt_boxes, gt_classes, gt_valid = labels_to_padded(labels)
+    xs, ys, ss = anchor_centers(hw, strides)
+    xs, ys, ss = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ss))
+    tgt = jax.lax.stop_gradient(simota_assign_batch(
+        bbox_preds, obj_logits, cls_logits,
+        gt_boxes, gt_classes, gt_valid, xs, ys, ss))
+
+    num_fg = jnp.maximum(jnp.sum(tgt.num_fg), 1.0)
+    fg = tgt.fg_mask.astype(jnp.float32)
+
+    loss_iou = jnp.sum(
+        iou_loss_cxcywh(bbox_preds, tgt.reg_target) * fg) / num_fg
+    loss_obj = jnp.sum(bce_with_logits(obj_logits, tgt.obj_target)) / num_fg
+    loss_cls = jnp.sum(
+        jnp.sum(bce_with_logits(cls_logits, tgt.cls_target), -1) * fg) / num_fg
+
+    # refined targets at local-frame proposal anchors
+    num_fg_local = jnp.maximum(jnp.sum(tgt.num_fg[:lframe]), 1.0)
+    take = jax.vmap(lambda a, i: a[i])
+    l_idx = props.idx[:lframe]                              # (L, P)
+    slot_valid = props.valid[:lframe].astype(jnp.float32)
+    refined_fg = take(tgt.fg_mask[:lframe], l_idx) & props.valid[:lframe]
+    refined_fg_f = refined_fg.astype(jnp.float32)
+    refined_cls_t = take(tgt.cls_target[:lframe], l_idx)    # (L, P, C)
+    refined_reg_t = take(tgt.reg_target[:lframe], l_idx)    # (L, P, 4)
+
+    loss_refined_cls = jnp.sum(
+        jnp.sum(bce_with_logits(
+            head_out["refined_cls_logits"][:lframe].astype(jnp.float32),
+            refined_cls_t), -1) * refined_fg_f) / num_fg_local
+
+    if "matcher_obj_logits" in head_out:
+        loss_matched_obj = jnp.sum(
+            bce_with_logits(head_out["matcher_obj_logits"].astype(jnp.float32),
+                            refined_fg_f) * slot_valid) / num_fg_local
+        # clip at 15 (reference :1186-1187) without killing the gradient
+        loss_matched_obj = jnp.where(
+            loss_matched_obj > 15.0,
+            loss_matched_obj * jax.lax.stop_gradient(
+                15.0 / loss_matched_obj),
+            loss_matched_obj)
+        enc_t = jax.lax.stop_gradient(encode_reg_targets(
+            refined_reg_t, props.boxes[:lframe]))
+        loss_matched_iou = jnp.sum(
+            jnp.sum(smooth_l1(
+                head_out["matcher_reg_offsets"].astype(jnp.float32) - enc_t),
+                -1) * refined_fg_f) / num_fg_local
+    else:
+        loss_matched_obj = jnp.float32(0.0)
+        loss_matched_iou = jnp.float32(0.0)
+
+    reg_weight = 3.0
+    iou_match_weight = 6.0
+    total = (reg_weight * loss_iou + loss_obj + loss_cls
+             + loss_refined_cls + loss_matched_obj
+             + iou_match_weight * loss_matched_iou)
+    return {
+        "total_loss": total,
+        "iou_loss": reg_weight * loss_iou,
+        "conf_loss": loss_obj,
+        "cls_loss": loss_cls,
+        "loss_refined_cls": loss_refined_cls,
+        "loss_matched_obj": loss_matched_obj,
+        "loss_matched_iou": iou_match_weight * loss_matched_iou,
+        "num_fg": jnp.sum(tgt.num_fg) / jnp.maximum(jnp.sum(tgt.num_gt), 1.0),
+    }
+
+
 def yolox_loss(raw_outputs: jax.Array, labels: jax.Array,
                hw: Sequence[Tuple[int, int]], strides: Sequence[int],
                use_l1: bool = False) -> Dict[str, jax.Array]:

@@ -1,0 +1,68 @@
+"""Optimizer construction (reference: yolox/exp/yolox_base.py:237 and
+exps/TSCD_VID/vid_tscd_large.py:157).
+
+The reference builds 3-4 SGD param groups: BN params and biases get no
+weight decay; conv/linear weights get 5e-4; TSCD adds a reduced-LR group
+(stem_lr_ratio) for the frozen-adjacent towers. Here groups are expressed
+with optax.multi_transform over a param-path labelling function, and the
+schedule multiplies inside sgd via inject_hyperparams.
+"""
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import optax
+from flax import traverse_util
+
+
+def _label_params(params, freeze_prefixes: Sequence[str],
+                  stem_lr_prefixes: Sequence[str]):
+    """Label each param leaf: 'frozen' | 'weight' | 'no_decay' |
+    'stem_weight' | 'stem_no_decay'."""
+    flat = traverse_util.flatten_dict(params)
+    labels = {}
+    for path, _ in flat.items():
+        spath = "/".join(str(p) for p in path)
+        frozen = any(spath.startswith(p) for p in freeze_prefixes)
+        stem = any(spath.startswith(p) for p in stem_lr_prefixes)
+        # BN scales/biases and all biases skip weight decay
+        # (yolox_base.py:243-253)
+        leaf = str(path[-1])
+        parent = str(path[-2]) if len(path) > 1 else ""
+        no_decay = (leaf == "bias" or parent == "bn"
+                    or leaf in ("scale",))
+        if frozen:
+            labels[path] = "frozen"
+        elif stem:
+            labels[path] = "stem_no_decay" if no_decay else "stem_weight"
+        else:
+            labels[path] = "no_decay" if no_decay else "weight"
+    return traverse_util.unflatten_dict(labels)
+
+
+def build_sgd(schedule: Callable, momentum: float = 0.9,
+              weight_decay: float = 5e-4, nesterov: bool = True,
+              freeze_prefixes: Sequence[str] = (),
+              stem_lr_prefixes: Sequence[str] = (),
+              stem_lr_ratio: float = 1.0) -> optax.GradientTransformation:
+    """SGD with param groups. `schedule` maps step -> lr."""
+
+    def sgd(decay, ratio):
+        chain = []
+        if decay:
+            chain.append(optax.add_decayed_weights(weight_decay))
+        chain.append(optax.sgd(lambda i: schedule(i) * ratio,
+                               momentum=momentum, nesterov=nesterov))
+        return optax.chain(*chain)
+
+    transforms = {
+        "weight": sgd(True, 1.0),
+        "no_decay": sgd(False, 1.0),
+        "stem_weight": sgd(True, stem_lr_ratio),
+        "stem_no_decay": sgd(False, stem_lr_ratio),
+        "frozen": optax.set_to_zero(),
+    }
+    return optax.multi_transform(
+        transforms,
+        lambda params: _label_params(params, tuple(freeze_prefixes),
+                                     tuple(stem_lr_prefixes)))

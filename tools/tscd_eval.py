@@ -1,0 +1,77 @@
+"""TSCD video evaluation CLI (reference: tools/tscd_eval.py:125).
+
+--tnum N runs only the first N val sequences ("Roughly Evaluation",
+reference README.md:151-154); -1 = full eval.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from tscd_tpu.exp import get_exp
+
+
+def make_parser():
+    parser = argparse.ArgumentParser("TSCD-TPU eval")
+    parser.add_argument("-f", "--exp_file", type=str,
+                        default="exps/TSCD_VID/vid_tscd_large.py")
+    parser.add_argument("-c", "--ckpt", type=str, required=True)
+    parser.add_argument("--dataset", type=str, default=None,
+                        choices=[None, "vid", "ovis"])
+    parser.add_argument("--lframe", type=int, default=None)
+    parser.add_argument("--gframe", type=int, default=None)
+    parser.add_argument("--tnum", type=int, default=-1)
+    parser.add_argument("--output", type=str, default=None,
+                        help="optional json dump of per-frame predictions")
+    parser.add_argument("opts", nargs="*")
+    return parser
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from tscd_tpu.core.tscd_trainer import TSCDTrainer
+    from tscd_tpu.train.checkpoint import load_checkpoint, load_tolerant
+
+    args = make_parser().parse_args()
+    exp = get_exp(args.exp_file)
+    exp.merge(args.opts)
+    if args.dataset:
+        exp.dataset_name = args.dataset
+    if args.lframe is not None:
+        exp.lframe_val = args.lframe
+    if args.gframe is not None:
+        exp.gframe_val = args.gframe
+    exp.tnum = args.tnum
+
+    loader = exp.get_eval_loader()
+    trainer = TSCDTrainer(exp, args, val_loader=loader)
+    model = trainer.model
+
+    first = next(iter(loader))
+    import jax.numpy as jnp
+    F = exp.lframe_val + exp.gframe_val
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(first["imgs"][:F]),
+        jnp.asarray(first["time_embedding"][:F]), exp.lframe_val,
+        exp.gframe_val)
+    restored = load_checkpoint(args.ckpt)
+    variables = {
+        "params": load_tolerant(variables["params"],
+                                restored.get("params", restored)),
+        "batch_stats": load_tolerant(variables.get("batch_stats", {}),
+                                     restored.get("batch_stats", {}))}
+
+    evaluator = exp.get_evaluator(loader)
+    predict = trainer.make_predict_fn(variables, exp.lframe_val,
+                                      exp.gframe_val)
+    res = evaluator.evaluate(predict)
+    print(res.get("mAP"), res.get("AP50"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Still-image YOLOX trainer (reference: yolox/core/trainer.py:36).
+
+Iteration-driven: infinite BatchLoader, jitted train step (forward +
+SimOTA + losses + backward + SGD + EMA in ONE XLA program), mosaic off +
+L1 on for the last no_aug epochs, per-epoch checkpoint + eval.
+"""
+
+import datetime
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.postprocess import postprocess_dense_batch
+from ..train.checkpoint import (load_checkpoint, load_tolerant,
+                                save_checkpoint)
+from ..train.step import (TrainState, init_train_state,
+                          make_yolox_train_step)
+from ..utils.metric import MeterBuffer, gpu_mem_usage_mb
+
+
+class Trainer:
+    def __init__(self, exp, args=None):
+        self.exp = exp
+        self.args = args
+        self.file_name = os.path.join(exp.output_dir, exp.exp_name)
+        os.makedirs(self.file_name, exist_ok=True)
+        self.meter = MeterBuffer(window_size=exp.print_interval)
+        self.best_ap = 0.0
+        self.start_epoch = 0
+        self.model = exp.get_model()
+        self.state: Optional[TrainState] = None
+
+    def _init_state(self, sample):
+        exp = self.exp
+        x = jnp.asarray(sample["imgs"])
+        variables = self.model.init(jax.random.PRNGKey(exp.seed or 0), x,
+                                    False, False)
+        ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
+        if getattr(self.args, "resume", False) and self.args:
+            path = ckpt_path or os.path.join(self.file_name,
+                                             "latest_ckpt.msgpack")
+            restored = load_checkpoint(path)
+            self.start_epoch = int(restored.get("start_epoch", 0))
+            variables = {
+                "params": load_tolerant(variables["params"],
+                                        restored["params"]),
+                "batch_stats": load_tolerant(
+                    variables.get("batch_stats", {}),
+                    restored.get("batch_stats", {}))}
+        elif ckpt_path:
+            restored = load_checkpoint(ckpt_path)
+            variables = {
+                "params": load_tolerant(variables["params"],
+                                        restored.get("params", restored)),
+                "batch_stats": load_tolerant(
+                    variables.get("batch_stats", {}),
+                    restored.get("batch_stats", {}))}
+        self.tx = exp.get_optimizer(self.iters_per_epoch)
+        self.state = init_train_state(variables, self.tx)
+        if self.start_epoch:
+            self.state = self.state._replace(step=jnp.asarray(
+                self.start_epoch * self.iters_per_epoch, jnp.int32))
+
+    def train(self):
+        exp = self.exp
+        loader = exp.get_data_loader()
+        self.iters_per_epoch = loader.steps_per_epoch
+        no_aug_loader = None
+        it = iter(loader)
+        sample = next(it)
+        self._init_state(sample)
+        step_aug = jax.jit(make_yolox_train_step(
+            self.model, self.tx, use_l1=False, ema_decay=exp.ema_decay),
+            donate_argnums=(0,))
+        step_l1 = jax.jit(make_yolox_train_step(
+            self.model, self.tx, use_l1=True, ema_decay=exp.ema_decay),
+            donate_argnums=(0,))
+
+        for epoch in range(self.start_epoch, exp.max_epoch):
+            no_aug = epoch >= exp.max_epoch - exp.no_aug_epochs
+            if no_aug and no_aug_loader is None:
+                no_aug_loader = exp.get_data_loader(no_aug=True)
+                it = iter(no_aug_loader)
+                print("--> no mosaic aug, L1 loss on")
+            step_fn = step_l1 if no_aug else step_aug
+            t_epoch = time.time()
+            data_t0 = time.time()
+            for n in range(self.iters_per_epoch):
+                batch = sample if (epoch == self.start_epoch and n == 0
+                                   and not no_aug) else next(it)
+                frames = jax.device_put(jnp.asarray(batch["imgs"]))
+                labels = jax.device_put(jnp.asarray(batch["labels"]))
+                data_time = time.time() - data_t0
+                t0 = time.time()
+                self.state, losses = step_fn(self.state, frames, labels)
+                host = {k: float(v) for k, v in losses.items()}
+                self.meter.update(iter_time=time.time() - t0,
+                                  data_time=data_time, **host)
+                data_t0 = time.time()
+                if (n + 1) % exp.print_interval == 0:
+                    left = (self.iters_per_epoch - n - 1 +
+                            (exp.max_epoch - epoch - 1) *
+                            self.iters_per_epoch)
+                    eta = datetime.timedelta(seconds=int(
+                        left * self.meter["iter_time"].global_avg))
+                    loss_str = ", ".join(f"{k}: {self.meter[k].latest:.3f}"
+                                         for k in host)
+                    print(f"epoch {epoch + 1} iter {n + 1}/"
+                          f"{self.iters_per_epoch} "
+                          f"mem {gpu_mem_usage_mb():.0f}MB "
+                          f"iter {self.meter['iter_time'].avg:.3f}s "
+                          f"ETA {eta} | {loss_str}")
+            self.save_ckpt(epoch)
+            if (epoch + 1) % exp.eval_interval == 0:
+                ap = self.evaluate()
+                if ap > self.best_ap:
+                    self.best_ap = ap
+                    self.save_ckpt(epoch, is_best=True)
+            print(f"epoch {epoch + 1}/{exp.max_epoch} done in "
+                  f"{time.time() - t_epoch:.0f}s")
+        return self.state
+
+    def make_predict_fn(self, variables):
+        exp = self.exp
+        model = self.model
+
+        @jax.jit
+        def fwd(variables, x):
+            out = model.apply(variables, x, False, True)
+            dets = postprocess_dense_batch(out["decoded"],
+                                           exp.num_classes,
+                                           exp.test_conf, exp.nmsthre, 100)
+            return dets
+
+        def predict(imgs):
+            d = fwd(variables, jnp.asarray(imgs))
+            d = jax.tree_util.tree_map(np.asarray, d)
+            out = []
+            for b in range(len(imgs)):
+                rows = np.concatenate([
+                    d.boxes[b], d.obj[b][:, None], d.score[b][:, None],
+                    d.cls_id[b][:, None].astype(np.float32)], -1)
+                out.append(rows[d.mask[b]])
+            return out
+
+        return predict
+
+    def evaluate(self) -> float:
+        evaluator = self.exp.get_evaluator()
+        variables = {"params": self.state.ema_params,
+                     "batch_stats": self.state.ema_batch_stats}
+        res = evaluator.evaluate(self.make_predict_fn(variables))
+        return float(res.get("AP50", 0.0))
+
+    def save_ckpt(self, epoch: int, is_best: bool = False):
+        ckpt = {
+            "start_epoch": np.int32(epoch + 1),
+            "params": self.state.ema_params,
+            "raw_params": self.state.params,
+            "batch_stats": self.state.ema_batch_stats,
+        }
+        path = save_checkpoint(ckpt, self.file_name, is_best=is_best)
+        print(f"saved checkpoint {path}")

@@ -1,0 +1,252 @@
+"""Video (TSCD) trainer (reference: yolox/core/tscd_trainer.py:90).
+
+One jitted XLA program per train step (forward + SimOTA + losses +
+backward + grouped SGD + EMA). The reference's CUDA-stream prefetcher is
+the WindowLoader background thread + async device_put; AMP autocast is
+bf16 by construction; DDP is the data-parallel mesh (single-window
+training on one chip mirrors the reference, which pins WORLD_SIZE=1 for
+TSCD, tools/tscd_train.py:10-13).
+"""
+
+import datetime
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.matching import init_matcher_state
+from ..models.tscd import tscd_eval_postprocess
+from ..ops.position import get_timing_signal_1d
+from ..train.checkpoint import (load_checkpoint, load_tolerant,
+                                save_checkpoint)
+from ..train.ema import ema_update
+from ..train.losses import tscd_loss
+from ..train.step import TrainState, init_train_state
+from ..utils.metric import MeterBuffer, gpu_mem_usage_mb
+
+
+class TSCDTrainer:
+    def __init__(self, exp, args=None, val_loader=None):
+        self.exp = exp
+        self.args = args
+        self.val_loader = val_loader
+        self.lframe, self.gframe = exp.lframe, exp.gframe
+        self.max_epoch = exp.max_epoch
+        self.file_name = os.path.join(exp.output_dir, exp.exp_name)
+        os.makedirs(self.file_name, exist_ok=True)
+        self.meter = MeterBuffer(window_size=exp.print_interval)
+        self.best_ap = 0.0
+        self.start_epoch = 0
+        self.model = exp.get_model()
+        self.state: Optional[TrainState] = None
+        self._train_step = None
+        self._eval_fn = None
+
+    # -- setup ---------------------------------------------------------
+    def _init_state(self, sample_batch):
+        exp = self.exp
+        F = self.lframe + self.gframe
+        x = jnp.asarray(sample_batch["imgs"][:F])
+        te = jnp.asarray(sample_batch["time_embedding"][:F])
+        variables = self.model.init(jax.random.PRNGKey(exp.seed or 0),
+                                    x, te, self.lframe, self.gframe)
+
+        ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
+        if getattr(self.args, "resume", False) and self.args:
+            path = ckpt_path or os.path.join(self.file_name,
+                                             "latest_ckpt.msgpack")
+            restored = load_checkpoint(path)
+            self.start_epoch = int(restored.get("start_epoch", 0))
+            variables = {
+                "params": load_tolerant(variables["params"],
+                                        restored["params"]),
+                "batch_stats": load_tolerant(
+                    variables.get("batch_stats", {}),
+                    restored.get("batch_stats", {})),
+            }
+            print(f"resumed from {path} at epoch {self.start_epoch}")
+        elif ckpt_path:
+            restored = load_checkpoint(ckpt_path)
+            # fine-tune load: shape-tolerant merge (2-stage recipe — init
+            # TSCD from a YOLOX checkpoint, reference checkpoint.py:11)
+            src = restored.get("params", restored)
+            variables = {
+                "params": load_tolerant(variables["params"], src),
+                "batch_stats": load_tolerant(
+                    variables.get("batch_stats", {}),
+                    restored.get("batch_stats",
+                                 variables.get("batch_stats", {}))),
+            }
+            print(f"loaded fine-tune weights from {ckpt_path}")
+
+        iters = max(len(self.train_loader), 1)
+        self.tx = exp.get_optimizer(iters)
+        self.state = init_train_state(variables, self.tx)
+        if self.start_epoch:
+            self.state = self.state._replace(
+                step=jnp.asarray(self.start_epoch * iters, jnp.int32))
+
+    def _build_train_step(self):
+        exp = self.exp
+        model = self.model
+        tx = self.tx
+        L, G = self.lframe, self.gframe
+        fix_bn = getattr(exp, "fix_bn", False)
+        import optax
+
+        def step(state: TrainState, frames, labels, time_emb):
+            def loss_fn(params):
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                if fix_bn:
+                    # frozen-backbone stage-2: BN in eval mode everywhere,
+                    # no stat updates (reference fix_bn semantics)
+                    out = model.apply(variables, frames, time_emb, L, G,
+                                      False)
+                    new_bs = state.batch_stats
+                else:
+                    out, mut = model.apply(variables, frames, time_emb, L,
+                                           G, True,
+                                           mutable=["batch_stats"])
+                    new_bs = mut["batch_stats"]
+                losses = tscd_loss(out, labels, (8, 16, 32), L)
+                return losses["total_loss"], (losses, new_bs)
+
+            (_, (losses, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_step = state.step + 1
+            new_state = TrainState(
+                params=params, batch_stats=new_bs, opt_state=opt_state,
+                ema_params=ema_update(state.ema_params, params, new_step,
+                                      exp.ema_decay),
+                ema_batch_stats=ema_update(state.ema_batch_stats, new_bs,
+                                           new_step, exp.ema_decay),
+                step=new_step)
+            return new_state, losses
+
+        self._train_step = jax.jit(step, donate_argnums=(0,))
+
+    # -- train ---------------------------------------------------------
+    def train(self):
+        exp = self.exp
+        self.train_loader = exp.get_data_loader()
+        first = next(iter(self.train_loader))
+        self._init_state(first)
+        self._build_train_step()
+        iters_per_epoch = max(len(self.train_loader), 1)
+        print(f"training {exp.exp_name}: {self.max_epoch} epochs x "
+              f"{iters_per_epoch} windows")
+
+        for epoch in range(self.start_epoch, self.max_epoch):
+            t_epoch = time.time()
+            n = 0
+            data_t0 = time.time()
+            for batch in iter(self.train_loader):
+                self._one_iter(batch, epoch, n, iters_per_epoch, data_t0)
+                n += 1
+                data_t0 = time.time()
+            self.save_ckpt(epoch)
+            if (epoch + 1) % exp.eval_interval == 0:
+                ap = self.evaluate()
+                if ap > self.best_ap:
+                    self.best_ap = ap
+                    self.save_ckpt(epoch, is_best=True)
+            print(f"epoch {epoch + 1}/{self.max_epoch} done in "
+                  f"{time.time() - t_epoch:.0f}s")
+        return self.state
+
+    def _one_iter(self, batch, epoch, n, iters_per_epoch, data_t0):
+        F = self.lframe + self.gframe
+        frames = jax.device_put(jnp.asarray(batch["imgs"][:F]))
+        labels = jax.device_put(jnp.asarray(batch["labels"][:F]))
+        te = jax.device_put(jnp.asarray(
+            batch["time_embedding"][:F], jnp.float32))
+        data_time = time.time() - data_t0
+        t0 = time.time()
+        self.state, losses = self._train_step(self.state, frames, labels,
+                                              te)
+        # scalar readback doubles as the execution barrier
+        host_losses = {k: float(v) for k, v in losses.items()}
+        iter_time = time.time() - t0
+        self.meter.update(iter_time=iter_time, data_time=data_time,
+                          **host_losses)
+        if (n + 1) % self.exp.print_interval == 0:
+            left = (iters_per_epoch - n - 1 +
+                    (self.max_epoch - epoch - 1) * iters_per_epoch)
+            eta = datetime.timedelta(
+                seconds=int(left * self.meter["iter_time"].global_avg))
+            loss_str = ", ".join(
+                f"{k}: {self.meter[k].latest:.3f}" for k in host_losses)
+            print(f"epoch {epoch + 1} iter {n + 1}/{iters_per_epoch} "
+                  f"mem {gpu_mem_usage_mb():.0f}MB "
+                  f"iter {self.meter['iter_time'].avg:.3f}s "
+                  f"data {self.meter['data_time'].avg:.3f}s "
+                  f"ETA {eta} | {loss_str}")
+
+    # -- eval ------------------------------------------------------------
+    def _build_eval_fn(self, lframe, gframe):
+        model = self.model
+        C = self.exp.num_classes
+
+        @jax.jit
+        def eval_fn(variables, x, te, st):
+            out = model.apply(variables, x, te, lframe, gframe, False, st)
+            refined, original = tscd_eval_postprocess(out, lframe, C)
+            return refined, original, out["matcher_state"]
+
+        return eval_fn
+
+    def make_predict_fn(self, variables, lframe, gframe):
+        """Returns predict_fn(imgs, te, resume, state) for VIDEvaluator."""
+        eval_fn = self._build_eval_fn(lframe, gframe)
+        P = self.exp.minimal_limit
+        hidden = int(256 * self.exp.width)
+        fresh = init_matcher_state(P, hidden, 4 * hidden)
+
+        def predict(imgs, te, resume, state):
+            st = state if (resume and state is not None) else fresh
+            refined, original, new_st = eval_fn(
+                variables, jnp.asarray(imgs),
+                jnp.asarray(te, jnp.float32), st)
+            refined = jax.tree_util.tree_map(np.asarray, refined)
+            dets = []
+            for f in range(lframe):
+                m = refined.mask[f]
+                rows = np.concatenate([
+                    refined.boxes[f], refined.obj[f][:, None],
+                    refined.score[f][:, None],
+                    refined.cls_id[f][:, None].astype(np.float32)], -1)
+                dets.append(rows[m])
+            return dets, new_st
+
+        return predict
+
+    def evaluate(self) -> float:
+        exp = self.exp
+        loader = self.val_loader or exp.get_eval_loader()
+        evaluator = exp.get_evaluator(loader)
+        variables = {"params": self.state.ema_params,
+                     "batch_stats": self.state.ema_batch_stats} \
+            if self.state is not None else None
+        assert variables is not None, "no state to evaluate"
+        predict = self.make_predict_fn(variables, exp.lframe_val,
+                                       exp.gframe_val)
+        res = evaluator.evaluate(predict)
+        return float(res.get("AP50", 0.0))
+
+    # -- ckpt -------------------------------------------------------------
+    def save_ckpt(self, epoch: int, is_best: bool = False):
+        ckpt = {
+            "start_epoch": np.int32(epoch + 1),
+            "params": self.state.ema_params,
+            "raw_params": self.state.params,
+            "batch_stats": self.state.ema_batch_stats,
+        }
+        path = save_checkpoint(ckpt, self.file_name, is_best=is_best)
+        print(f"saved checkpoint {path}")

@@ -1,0 +1,149 @@
+"""Video (TSCD) experiment base (reference: exps/TSCD_VID/tscd_base.py).
+
+Carries the reference's video knobs (:38-126) as typed attributes. The
+default values here match vid_tscd_large.py (the TSCD-Large VID config):
+ota_mode refined labels, MCA aggregation, decoupled reg, fixed 50-slot
+proposals, lframe=4/gframe=12 train windows, lframe=1/gframe=31 eval.
+"""
+
+import os
+from typing import Optional
+
+from .yolox_base import Exp as YoloxExp
+
+
+class Exp(YoloxExp):
+    def __init__(self):
+        super().__init__()
+        # model — TSCD-Large defaults (vid_tscd_large.py:13-45)
+        self.num_classes = 30
+        self.depth = 1.0
+        self.width = 1.0
+        self.input_size = (576, 576)
+        self.test_size = (576, 576)
+        self.multiscale_range = 3          # ±3×32 (tscd_base random_resize)
+        # video window construction (tscd_base.py:38-126)
+        self.lframe = 4
+        self.gframe = 12
+        self.lframe_val = 1
+        self.gframe_val = 31
+        self.mode = "random"
+        self.local_stride = 1
+        self.traj_linking = False
+        self.tnum = -1
+        # proposals / aggregation
+        self.defualt_p = 30                 # reference's (sic) topK name
+        self.minimal_limit = 50             # fixed proposal slots P
+        self.defualt_pre = 750
+        self.sim_thresh = 0.75
+        self.pre_nms = 0.75
+        self.use_pre_nms = False
+        self.ave = True
+        self.use_mask = False
+        self.agg_type = "mca"
+        self.decouple_reg = True
+        self.vid_cls = True
+        self.vid_reg = True
+        self.reconf = True
+        self.ota_mode = True
+        self.cat_ota_fg = False
+        self.heads = 4
+        self.drop_rate = 0.0
+        # matcher
+        self.decoder_layer_num = 1
+        # training (tscd_base.py + vid_tscd_large.py)
+        self.max_epoch = 7
+        self.no_aug_epochs = 2
+        self.warmup_epochs = 1
+        self.basic_lr_per_img = 0.002 / 64.0
+        self.stem_lr_ratio = 0.1
+        self.batch_size = 16                # = lframe + gframe (one window)
+        self.eval_interval = 1
+        self.perspective = 0.0
+        self.fix_bn = True                  # frozen backbone => eval-mode BN
+        self.seed = 2024
+        # data paths
+        self.data_dir = "./datasets/ILSVRC2015"
+        self.train_seq_path = "./yolox/data/datasets/train_seq.npy"
+        self.val_seq_path = "./yolox/data/datasets/val_seq.npy"
+        self.anno_cache = ""
+        self.dataset_name = "vid"           # vid | ovis
+        self.ovis_train_json = ""
+        self.ovis_val_json = ""
+        self.ovis_name = ""
+        self.exp_name = os.path.splitext(os.path.basename(__file__))[0]
+
+    # -- builders ----------------------------------------------------------
+    def get_model(self):
+        from ..models.tscd import TSCD
+        return TSCD(num_classes=self.num_classes, depth=self.depth,
+                    width=self.width, act=self.act,
+                    depthwise=self.depthwise,
+                    num_proposals=self.minimal_limit, heads=self.heads,
+                    reconf=self.reconf, decouple_reg=self.decouple_reg,
+                    use_pre_nms=self.use_pre_nms,
+                    sim_thresh=self.sim_thresh, test_conf=0.001)
+
+    def freeze_prefixes(self):
+        """Parameter-path prefixes frozen during TSCD stage-2 training
+        (reference vid_tscd_large.py:111-143: backbone + still-image
+        stems/towers/preds are frozen)."""
+        return ("backbone",)
+
+    def stem_lr_prefixes(self):
+        """Reduced-LR groups (stem_lr_ratio, vid_tscd_large.py:157-190)."""
+        return ("head/stem_", "head/cls_conv_", "head/reg_conv_",
+                "head/cls_pred_", "head/reg_pred_", "head/obj_pred_")
+
+    def get_optimizer(self, iters_per_epoch: int):
+        from ..train.optim import build_sgd
+        return build_sgd(self.get_lr_schedule(iters_per_epoch),
+                         momentum=self.momentum,
+                         weight_decay=self.weight_decay,
+                         freeze_prefixes=self.freeze_prefixes(),
+                         stem_lr_prefixes=self.stem_lr_prefixes(),
+                         stem_lr_ratio=self.stem_lr_ratio)
+
+    def _vid_dataset(self, val: bool, lframe: int, gframe: int):
+        from ..data.vid import OVISVideoDataset, VIDDataset
+        if self.dataset_name == "ovis":
+            return OVISVideoDataset(
+                json_path=self.ovis_val_json if val else self.ovis_train_json,
+                data_dir=self.data_dir, name=self.ovis_name,
+                img_size=self.input_size if not val else self.test_size,
+                lframe=lframe, gframe=gframe, val=val, mode=self.mode,
+                training=not val)
+        return VIDDataset(
+            file_path=self.val_seq_path if val else self.train_seq_path,
+            img_size=self.input_size if not val else self.test_size,
+            lframe=lframe, gframe=gframe, val=val, mode=self.mode,
+            dataset_pth=self.data_dir, tnum=self.tnum,
+            traj_linking=val and self.traj_linking,
+            local_stride=self.local_stride, training=not val,
+            cache_file=self.anno_cache, formal=val)
+
+    def get_data_loader(self, batch_size: Optional[int] = None,
+                        no_aug: bool = False):
+        from ..data.vid import WindowLoader
+        ds = self._vid_dataset(False, self.lframe, self.gframe)
+        return WindowLoader(ds, shuffle=True, max_labels=120,
+                            train_time_index=True, cxcywh=True)
+
+    def get_eval_loader(self, lframe: Optional[int] = None,
+                        gframe: Optional[int] = None):
+        from ..data.vid import WindowLoader
+        ds = self._vid_dataset(True, lframe or self.lframe_val,
+                               gframe or self.gframe_val)
+        return WindowLoader(ds, shuffle=False, max_labels=120)
+
+    def get_evaluator(self, val_loader=None):
+        from ..eval.vid_evaluator import OVISEvaluator, VIDEvaluator
+        cls = OVISEvaluator if self.dataset_name == "ovis" else VIDEvaluator
+        return cls(val_loader or self.get_eval_loader(),
+                   img_size=self.test_size, confthre=0.001, nmsthre=0.5,
+                   num_classes=self.num_classes,
+                   lframe=self.lframe_val, gframe=self.gframe_val)
+
+    def get_trainer(self, args=None):
+        from ..core.tscd_trainer import TSCDTrainer
+        return TSCDTrainer(self, args)

@@ -1,0 +1,252 @@
+"""REPP — Robust and Efficient Post-Processing for video object detection
+(reference: tools/REPPM.py:27, tools/repp_utils.py, tools/REPP.py).
+
+Offline, host-side numpy (the reference runs it as a multiprocessing CPU
+stage after val_to_imdb): per video,
+  1. score filtering (min_pred_score),
+  2. cross-frame pair linking between consecutive frames — either the
+     baseline IoU·score distance (REPPM.py:72 distance_def) or a
+     logistic-regression classifier over pair features
+     (repp_utils.get_pair_features:31, REPPM.py:80 distance_logreg),
+  3. greedy distance-matrix solving (REPPM.py:156),
+  4. tubelet building (:179),
+  5. tubelet re-scoring by the mean per-class score (:231),
+  6. Gaussian-smoothed re-coordinating of boxes along the tubelet (:244).
+
+Detections are per-frame dicts {"bbox": [x, y, w, h] (pixels),
+"scores": (C,) per-class score vector} or (K, 7) rows
+[x1,y1,x2,y2,obj,score,cls] via `rows_to_repp`.
+"""
+
+import math
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def iou_xywh(b1, b2) -> float:
+    x11, y11, x12, y12 = b1[0], b1[1], b1[0] + b1[2], b1[1] + b1[3]
+    x21, y21, x22, y22 = b2[0], b2[1], b2[0] + b2[2], b2[1] + b2[3]
+    ix = max(0.0, min(x12, x22) - max(x11, x21))
+    iy = max(0.0, min(y12, y22) - max(y11, y21))
+    inter = ix * iy
+    union = b1[2] * b1[3] + b2[2] * b2[3] - inter
+    return inter / union if union > 0 else 0.0
+
+
+def get_pair_features(det1: dict, det2: dict,
+                      image_size: Sequence[float] = (1.0, 1.0)) -> dict:
+    """Pair descriptors between two detections in consecutive frames
+    (reference repp_utils.get_pair_features:31): normalized center
+    distances, log size ratios, IoU, score-vector relations."""
+    b1, b2 = np.asarray(det1["bbox"], float), np.asarray(det2["bbox"], float)
+    w, h = float(image_size[0]) or 1.0, float(image_size[1]) or 1.0
+    c1 = (b1[0] + b1[2] / 2, b1[1] + b1[3] / 2)
+    c2 = (b2[0] + b2[2] / 2, b2[1] + b2[3] / 2)
+    s1 = np.asarray(det1["scores"], float)
+    s2 = np.asarray(det2["scores"], float)
+    dot = float(np.dot(s1, s2) /
+                (np.linalg.norm(s1) * np.linalg.norm(s2) + 1e-12))
+    return {
+        "x_dist": abs(c1[0] - c2[0]) / w,
+        "y_dist": abs(c1[1] - c2[1]) / h,
+        "w_ratio": math.log(max(b1[2], 1e-6) / max(b2[2], 1e-6)),
+        "h_ratio": math.log(max(b1[3], 1e-6) / max(b2[3], 1e-6)),
+        "iou": iou_xywh(b1, b2),
+        "score_cos": dot,
+        "score_prod": float(np.max(s1) * np.max(s2)),
+    }
+
+
+PAIR_FEATURE_ORDER = ("x_dist", "y_dist", "w_ratio", "h_ratio", "iou",
+                      "score_cos", "score_prod")
+
+
+def rows_to_repp(rows: np.ndarray, num_classes: int) -> List[dict]:
+    """(K, 7) [x1,y1,x2,y2,obj,score,cls] -> per-detection REPP dicts with
+    one-hot-ish score vectors (obj*score at the predicted class)."""
+    out = []
+    for r in np.asarray(rows, float):
+        scores = np.zeros(num_classes)
+        scores[int(r[6])] = r[4] * r[5]
+        out.append({"bbox": [r[0], r[1], r[2] - r[0], r[3] - r[1]],
+                    "scores": scores})
+    return out
+
+
+class REPP:
+    def __init__(self, min_tubelet_score: float = 0.3,
+                 min_pred_score: float = 0.01,
+                 distance_threshold: float = 0.5,
+                 clf_threshold: float = 0.5,
+                 recoordinate: bool = True,
+                 recoordinate_std: float = 1.0,
+                 appearance_matching: bool = False,
+                 clf_model_path: Optional[str] = None,
+                 image_size: Sequence[float] = (1.0, 1.0)):
+        self.min_tubelet_score = min_tubelet_score
+        self.min_pred_score = min_pred_score
+        self.distance_threshold = distance_threshold
+        self.clf_threshold = clf_threshold
+        self.do_recoordinate = recoordinate
+        self.recoordinate_std = recoordinate_std
+        self.image_size = image_size
+        self.clf = None
+        if appearance_matching and clf_model_path:
+            with open(clf_model_path, "rb") as f:
+                self.clf = pickle.load(f)
+
+    # -- pair distances ----------------------------------------------------
+    def distance_def(self, det1: dict, det2: dict) -> float:
+        """Baseline: (1 - IoU) scaled by score dissimilarity
+        (REPPM.py:72)."""
+        iou = iou_xywh(det1["bbox"], det2["bbox"])
+        if iou <= 0:
+            return float("inf")
+        s1, s2 = np.asarray(det1["scores"]), np.asarray(det2["scores"])
+        score_sim = float(np.dot(s1, s2) /
+                          (np.linalg.norm(s1) * np.linalg.norm(s2) + 1e-12))
+        d = (1.0 - iou) * (1.0 - score_sim + 1e-3)
+        return d if d < self.distance_threshold else float("inf")
+
+    def distance_logreg(self, det1: dict, det2: dict) -> float:
+        """Logistic-regression pair classifier (REPPM.py:80): P(link) from
+        pair features; distance = 1 - P, inf below clf_threshold."""
+        feats = get_pair_features(det1, det2, self.image_size)
+        x = np.asarray([[feats[k] for k in PAIR_FEATURE_ORDER]])
+        p = float(self.clf.predict_proba(x)[0, 1]) if hasattr(
+            self.clf, "predict_proba") else float(
+            1.0 / (1.0 + np.exp(-(x @ self.clf["coef"].T
+                                  + self.clf["intercept"]))[0, 0]))
+        return 1.0 - p if p >= self.clf_threshold else float("inf")
+
+    def distance(self, det1, det2):
+        return (self.distance_logreg(det1, det2) if self.clf is not None
+                else self.distance_def(det1, det2))
+
+    # -- linking -----------------------------------------------------------
+    def get_video_pairs(self, video_dets: List[List[dict]]):
+        """For each pair of consecutive frames: greedy min-distance
+        matching (REPPM.py:103,156)."""
+        pairs = []
+        for f in range(len(video_dets) - 1):
+            d1, d2 = video_dets[f], video_dets[f + 1]
+            if not d1 or not d2:
+                pairs.append({})
+                continue
+            mat = np.full((len(d1), len(d2)), np.inf)
+            for i, a in enumerate(d1):
+                for j, b in enumerate(d2):
+                    mat[i, j] = self.distance(a, b)
+            link = {}
+            used_j = set()
+            while np.isfinite(mat).any():
+                i, j = np.unravel_index(np.argmin(mat), mat.shape)
+                link[int(i)] = int(j)
+                used_j.add(int(j))
+                mat[i, :] = np.inf
+                mat[:, j] = np.inf
+            pairs.append(link)
+        return pairs
+
+    def get_tubelets(self, video_dets: List[List[dict]], pairs):
+        """Chains of linked detections: list of [(frame, det), ...]
+        (REPPM.py:179)."""
+        tubelets = []
+        used = [set() for _ in video_dets]
+        for f0 in range(len(video_dets)):
+            for i0 in range(len(video_dets[f0])):
+                if i0 in used[f0]:
+                    continue
+                tube = [(f0, video_dets[f0][i0])]
+                used[f0].add(i0)
+                f, i = f0, i0
+                while f < len(pairs) and i in pairs[f]:
+                    j = pairs[f][i]
+                    if j in used[f + 1]:
+                        break
+                    tube.append((f + 1, video_dets[f + 1][j]))
+                    used[f + 1].add(j)
+                    f, i = f + 1, j
+                tubelets.append(tube)
+        return tubelets
+
+    # -- rescoring / recoordinating -----------------------------------------
+    @staticmethod
+    def rescore_tubelet(tube):
+        """Mean per-class score across the tubelet replaces each det's
+        scores (REPPM.py:231)."""
+        mean_scores = np.mean([d["scores"] for _, d in tube], axis=0)
+        for _, d in tube:
+            d["scores"] = mean_scores.copy()
+        return float(np.max(mean_scores))
+
+    def recoordinate_tubelet(self, tube):
+        """Gaussian smoothing of box coords along time (REPPM.py:244)."""
+        if len(tube) < 3:
+            return
+        coords = np.asarray([d["bbox"] for _, d in tube], float)
+        radius = max(int(3 * self.recoordinate_std), 1)
+        xs = np.arange(-radius, radius + 1)
+        kernel = np.exp(-0.5 * (xs / self.recoordinate_std) ** 2)
+        kernel /= kernel.sum()
+        sm = np.stack([np.convolve(
+            np.pad(coords[:, k], radius, mode="edge"), kernel,
+            mode="valid") for k in range(4)], axis=1)
+        for (f, d), row in zip(tube, sm):
+            d["bbox"] = row.tolist()
+
+    # -- top-level -----------------------------------------------------------
+    def __call__(self, video_dets: List[List[dict]]) -> List[List[dict]]:
+        """video_dets: per-frame lists of REPP detection dicts. Returns
+        filtered + rescored + recoordinated per-frame lists."""
+        filtered = [[d for d in frame
+                     if np.max(d["scores"]) >= self.min_pred_score]
+                    for frame in video_dets]
+        pairs = self.get_video_pairs(filtered)
+        tubelets = self.get_tubelets(filtered, pairs)
+        out: List[List[dict]] = [[] for _ in video_dets]
+        for tube in tubelets:
+            score = self.rescore_tubelet(tube)
+            if score < self.min_tubelet_score:
+                continue
+            if self.do_recoordinate:
+                self.recoordinate_tubelet(tube)
+            for f, d in tube:
+                out[f].append(d)
+        return out
+
+    def process_video_dets(self, all_dets: List[Optional[np.ndarray]],
+                           num_classes: int = 30):
+        """Convenience wrapper over (K, 7) row arrays per frame (the demo
+        path): REPP then back to row format."""
+        video = [rows_to_repp(d if d is not None else np.zeros((0, 7)),
+                              num_classes) for d in all_dets]
+        processed = self(video)
+        out = []
+        for frame in processed:
+            rows = []
+            for d in frame:
+                cls = int(np.argmax(d["scores"]))
+                s = float(d["scores"][cls])
+                x, y, w, h = d["bbox"]
+                rows.append([x, y, x + w, y + h, 1.0, s, cls])
+            out.append(np.asarray(rows, np.float32).reshape(-1, 7))
+        return out
+
+
+def repp_to_coco(video_dets: List[List[dict]], image_ids: List[int],
+                 class_ids: Optional[Sequence[int]] = None) -> List[dict]:
+    """Per-frame REPP dicts -> COCO prediction dicts (REPPM.py:260)."""
+    out = []
+    for frame, img_id in zip(video_dets, image_ids):
+        for d in frame:
+            cls = int(np.argmax(d["scores"]))
+            out.append({
+                "image_id": int(img_id),
+                "category_id": int(class_ids[cls]) if class_ids else cls + 1,
+                "bbox": [float(v) for v in d["bbox"]],
+                "score": float(d["scores"][cls]),
+            })
+    return out

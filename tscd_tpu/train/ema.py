@@ -12,7 +12,9 @@ import jax.numpy as jnp
 
 
 def ema_init(tree: Any) -> Any:
-    return jax.tree_util.tree_map(jnp.asarray, tree)
+    # real copies, not aliases: the train step donates the whole state, and
+    # donating params and ema_params that share a buffer is an error
+    return jax.tree_util.tree_map(lambda a: jnp.array(a, copy=True), tree)
 
 
 def ema_update(ema_tree: Any, new_tree: Any, updates: jax.Array,

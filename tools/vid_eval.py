@@ -15,9 +15,9 @@ from tscd_tpu.exp import get_exp
 
 
 def make_parser():
-    parser = argparse.ArgumentParser("TSCD-TPU eval")
+    parser = argparse.ArgumentParser("YOLOV-TPU eval")
     parser.add_argument("-f", "--exp_file", type=str,
-                        default="exps/TSCD_VID/vid_tscd_large.py")
+                        default="exps/yolov/yolov_l.py")
     parser.add_argument("-c", "--ckpt", type=str, required=True)
     parser.add_argument("--dataset", type=str, default=None,
                         choices=[None, "vid", "ovis"])
@@ -34,7 +34,6 @@ def main():
     import jax
     import numpy as np
 
-    from tscd_tpu.core.tscd_trainer import TSCDTrainer
     from tscd_tpu.train.checkpoint import load_checkpoint, load_tolerant
 
     args = make_parser().parse_args()
@@ -49,7 +48,9 @@ def main():
     exp.tnum = args.tnum
 
     loader = exp.get_eval_loader()
-    trainer = TSCDTrainer(exp, args, val_loader=loader)
+    trainer = exp.get_trainer(args)
+    trainer.val_loader = loader
+    model = trainer.model
 
     first = next(iter(loader))
     import jax.numpy as jnp

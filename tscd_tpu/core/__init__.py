@@ -1,4 +1,5 @@
 from .trainer import Trainer
 from .tscd_trainer import TSCDTrainer
+from .yolov_trainer import YOLOVTrainer
 
-__all__ = ["Trainer", "TSCDTrainer"]
+__all__ = ["Trainer", "TSCDTrainer", "YOLOVTrainer"]

@@ -46,13 +46,16 @@ class TSCDTrainer:
         self._eval_fn = None
 
     # -- setup ---------------------------------------------------------
+    def _init_variables(self, x, te, L, G):
+        return self.model.init(jax.random.PRNGKey(self.exp.seed or 0),
+                               x, te, L, G)
+
     def _init_state(self, sample_batch):
         exp = self.exp
         F = self.lframe + self.gframe
         x = jnp.asarray(sample_batch["imgs"][:F])
         te = jnp.asarray(sample_batch["time_embedding"][:F])
-        variables = self.model.init(jax.random.PRNGKey(exp.seed or 0),
-                                    x, te, self.lframe, self.gframe)
+        variables = self._init_variables(x, te, self.lframe, self.gframe)
 
         ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
         if getattr(self.args, "resume", False) and self.args:

@@ -1,0 +1,129 @@
+"""YOLOV/YOLOV++ trainer — TSCDTrainer with the YOLOV forward signature
+(no matcher state; YOLOV takes no time embedding, YOLOV++ takes one) and
+yolov_loss (reference: yolox/core/vid_trainer.py drives these heads the
+same way as TSCD)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.yolov import YOLOV, yolov_eval_postprocess
+from ..train.ema import ema_update
+from ..train.losses import yolov_loss
+from ..train.step import TrainState
+from .tscd_trainer import TSCDTrainer
+
+
+class YOLOVTrainer(TSCDTrainer):
+    def _apply_model(self, variables, frames, te, L, G, train,
+                     mutable=False):
+        if isinstance(self.model, YOLOV):
+            if mutable:
+                return self.model.apply(variables, frames, L, G, train,
+                                        mutable=["batch_stats"])
+            return self.model.apply(variables, frames, L, G, train)
+        if mutable:
+            return self.model.apply(variables, frames, L, G, te, train,
+                                    mutable=["batch_stats"])
+        return self.model.apply(variables, frames, L, G, te, train)
+
+    def _init_variables(self, x, te, L, G):
+        if isinstance(self.model, YOLOV):
+            return self.model.init(jax.random.PRNGKey(self.exp.seed or 0),
+                                   x, L, G)
+        return self.model.init(jax.random.PRNGKey(self.exp.seed or 0),
+                               x, L, G, te)
+
+    def _init_state(self, sample_batch):
+        exp = self.exp
+        F = self.lframe + self.gframe
+        x = jnp.asarray(sample_batch["imgs"][:F])
+        te = jnp.asarray(sample_batch["time_embedding"][:F])
+        variables = self._init_variables(x, te, self.lframe, self.gframe)
+        iters = max(len(self.train_loader), 1)
+        self.tx = exp.get_optimizer(iters)
+        from ..train.step import init_train_state
+        from ..train.checkpoint import load_checkpoint, load_tolerant
+        ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
+        if ckpt_path:
+            restored = load_checkpoint(ckpt_path)
+            variables = {
+                "params": load_tolerant(variables["params"],
+                                        restored.get("params", restored)),
+                "batch_stats": load_tolerant(
+                    variables.get("batch_stats", {}),
+                    restored.get("batch_stats", {}))}
+        self.state = init_train_state(variables, self.tx)
+
+    def _build_train_step(self):
+        exp = self.exp
+        L, G = self.lframe, self.gframe
+        # refined frames: YOLOV refines all F, MCA variants refine L
+        R = (L + G) if (isinstance(self.model, YOLOV)
+                        or exp.agg_type in ("msa", "localagg")) else L
+        fix_bn = getattr(exp, "fix_bn", False)
+        tx = self.tx
+        import optax
+
+        def step(state: TrainState, frames, labels, time_emb):
+            def loss_fn(params):
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                if fix_bn:
+                    out = self._apply_model(variables, frames, time_emb,
+                                            L, G, False)
+                    new_bs = state.batch_stats
+                else:
+                    out, mut = self._apply_model(variables, frames,
+                                                 time_emb, L, G, True,
+                                                 mutable=True)
+                    new_bs = mut["batch_stats"]
+                losses = yolov_loss(out, labels, (8, 16, 32), R)
+                return losses["total_loss"], (losses, new_bs)
+
+            (_, (losses, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_step = state.step + 1
+            new_state = TrainState(
+                params=params, batch_stats=new_bs, opt_state=opt_state,
+                ema_params=ema_update(state.ema_params, params, new_step,
+                                      exp.ema_decay),
+                ema_batch_stats=ema_update(state.ema_batch_stats, new_bs,
+                                           new_step, exp.ema_decay),
+                step=new_step)
+            return new_state, losses
+
+        self._train_step = jax.jit(step, donate_argnums=(0,))
+
+    def make_predict_fn(self, variables, lframe, gframe):
+        C = self.exp.num_classes
+        R = ((lframe + gframe)
+             if (isinstance(self.model, YOLOV)
+                 or self.exp.agg_type in ("msa", "localagg"))
+             else max(lframe, 1))
+
+        @jax.jit
+        def eval_fn(variables, x, te):
+            out = self._apply_model(variables, x, te, lframe, gframe,
+                                    False)
+            refined, original = yolov_eval_postprocess(out, R, C)
+            return refined, original
+
+        def predict(imgs, te, resume, state):
+            refined, original = eval_fn(variables, jnp.asarray(imgs),
+                                        jnp.asarray(te, jnp.float32))
+            refined = jax.tree_util.tree_map(np.asarray, refined)
+            dets = []
+            for f in range(R):
+                m = refined.mask[f]
+                rows = np.concatenate([
+                    refined.boxes[f], refined.obj[f][:, None],
+                    refined.score[f][:, None],
+                    refined.cls_id[f][:, None].astype(np.float32)], -1)
+                dets.append(rows[m])
+            return dets, state
+
+        return predict

@@ -65,15 +65,18 @@ def select_frame_proposals(decoded: jax.Array, num_classes: int, p: int,
         cls_conf = jnp.max(cls_scores, -1)
         cls_id = jnp.argmax(cls_scores, -1)
         score = obj * cls_conf
-        passing = score >= conf_thresh
         if use_pre_nms:
+            # postpro_woclass (post_process.py:464): rank top-750 by OBJ
+            # conf alone, class-aware NMS scored by obj*cls, keep top-P
+            # survivors — no conf gate (the reference keeps topK
+            # regardless of threshold)
             pre = min(750, boxes.shape[0])
-            top_s, top_i = jax.lax.top_k(jnp.where(passing, score, -jnp.inf),
-                                         pre)
+            top_o, top_i = jax.lax.top_k(obj, pre)
+            nms_scores = top_o * cls_conf[top_i]
             keep = batched_class_aware_nms(
-                boxes[top_i], top_s, cls_id[top_i], top_s > -jnp.inf,
-                nms_thre)
-            surv = jnp.where(keep, top_s, -jnp.inf)
+                boxes[top_i], nms_scores, cls_id[top_i],
+                jnp.ones(pre, bool), nms_thre)
+            surv = jnp.where(keep, nms_scores, -jnp.inf)
             out_s, pick = jax.lax.top_k(surv, p)
             idx = top_i[pick]
             valid = out_s > -jnp.inf

@@ -134,6 +134,71 @@ def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
     }
 
 
+def yolov_loss(head_out, labels: jax.Array, strides: Sequence[int],
+               num_refined_frames: int) -> Dict[str, jax.Array]:
+    """YOLOV/YOLOV++ losses (reference yolovp_msa.py get_losses /
+    v_plus_head.py ota_mode path): base YOLOX losses over all frames +
+    refined-cls BCE (and reconf obj BCE) at the proposal anchors of the
+    refined frames, targets from the same SimOTA assignment."""
+    raw = head_out["raw_outputs"].astype(jnp.float32)
+    hw = head_out["hw"]
+    props = head_out["proposals"]
+
+    decoded = decode_outputs(raw, hw, strides)
+    bbox_preds = decoded[..., :4]
+    obj_logits = raw[..., 4]
+    cls_logits = raw[..., 5:]
+
+    gt_boxes, gt_classes, gt_valid = labels_to_padded(labels)
+    xs, ys, ss = anchor_centers(hw, strides)
+    xs, ys, ss = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ss))
+    tgt = jax.lax.stop_gradient(simota_assign_batch(
+        bbox_preds, obj_logits, cls_logits,
+        gt_boxes, gt_classes, gt_valid, xs, ys, ss))
+
+    num_fg = jnp.maximum(jnp.sum(tgt.num_fg), 1.0)
+    fg = tgt.fg_mask.astype(jnp.float32)
+    loss_iou = jnp.sum(
+        iou_loss_cxcywh(bbox_preds, tgt.reg_target) * fg) / num_fg
+    loss_obj = jnp.sum(bce_with_logits(obj_logits, tgt.obj_target)) / num_fg
+    loss_cls = jnp.sum(
+        jnp.sum(bce_with_logits(cls_logits, tgt.cls_target), -1) * fg) / num_fg
+
+    R = num_refined_frames
+    num_fg_r = jnp.maximum(jnp.sum(tgt.num_fg[:R]), 1.0)
+    take = jax.vmap(lambda a, i: a[i])
+    r_idx = props.idx[:R]
+    refined_fg = take(tgt.fg_mask[:R], r_idx) & props.valid[:R]
+    refined_fg_f = refined_fg.astype(jnp.float32)
+    refined_cls_t = take(tgt.cls_target[:R], r_idx)
+    loss_refined_cls = jnp.sum(
+        jnp.sum(bce_with_logits(
+            head_out["refined_cls_logits"][:R].astype(jnp.float32),
+            refined_cls_t), -1) * refined_fg_f) / num_fg_r
+
+    slot_valid = props.valid[:R].astype(jnp.float32)
+    if "refined_obj_logits" in head_out:
+        loss_refined_obj = jnp.sum(
+            bce_with_logits(
+                head_out["refined_obj_logits"][:R].astype(jnp.float32),
+                refined_fg_f) * slot_valid) / num_fg_r
+    else:
+        loss_refined_obj = jnp.float32(0.0)
+
+    reg_weight = 3.0
+    total = (reg_weight * loss_iou + loss_obj + loss_cls
+             + loss_refined_cls + loss_refined_obj)
+    return {
+        "total_loss": total,
+        "iou_loss": reg_weight * loss_iou,
+        "conf_loss": loss_obj,
+        "cls_loss": loss_cls,
+        "loss_refined_cls": loss_refined_cls,
+        "loss_refined_obj": loss_refined_obj,
+        "num_fg": jnp.sum(tgt.num_fg) / jnp.maximum(jnp.sum(tgt.num_gt), 1.0),
+    }
+
+
 def yolox_loss(raw_outputs: jax.Array, labels: jax.Array,
                hw: Sequence[Tuple[int, int]], strides: Sequence[int],
                use_l1: bool = False) -> Dict[str, jax.Array]:

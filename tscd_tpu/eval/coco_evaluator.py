@@ -12,7 +12,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .cocoeval import COCOeval
+from .fast_cocoeval import COCOeval_opt as COCOeval
 
 
 def per_class_table(per_class: Dict[str, float], headers=("class", "AP"),

@@ -16,7 +16,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from .coco_api import COCO
-from .cocoeval import COCOeval
+from .fast_cocoeval import COCOeval_opt as COCOeval
 from ..data.vid import VID_CLASSES
 
 

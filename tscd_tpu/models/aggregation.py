@@ -62,6 +62,7 @@ class DualBranchAttention(nn.Module):
     scale: float = 25.0
     cross: bool = True
     qkv_bias: bool = False
+    use_pallas: Optional[bool] = None   # None = auto (TPU backend only)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -88,39 +89,55 @@ class DualBranchAttention(nn.Module):
                 dense("qkv_reg", 3 * C)(x_reg), 3, -1)
             q_cls, q_reg = q_cls[:n_query], q_reg[:n_query]
 
-        qc, kc, vc = (_split_heads(z, h) for z in (q_cls, k_cls, v_cls))
-        qr, kr, vr = (_split_heads(z, h) for z in (q_reg, k_reg, v_reg))
-        qc, kc, qr, kr = map(_l2norm, (qc, kc, qr, kr))
+        qc0, kc0, vc = (_split_heads(z, h) for z in (q_cls, k_cls, v_cls))
+        qr0, kr0, vr = (_split_heads(z, h) for z in (q_reg, k_reg, v_reg))
         vcn, vrn = _l2norm(vc), _l2norm(vr)
 
         f32 = jnp.float32
-        logits_cls = jnp.einsum("hqd,hkd->hqk", qc, kc,
-                                preferred_element_type=f32) * self.scale
-        logits_reg = jnp.einsum("hqd,hkd->hqk", qr, kr,
-                                preferred_element_type=f32) * self.scale
-
-        # score guidance on the cls branch only (post_trans.py:658,776;
-        # reg-branch guidance removed upstream 2023.12.5)
+        fused_ok = (not use_mask) and (self.use_pallas if self.use_pallas
+                                       is not None
+                                       else jax.default_backend() == "tpu")
         cls_mask = None
-        if cls_score is not None:
-            logits_cls = logits_cls * cls_score.astype(f32)[None, None, :]
-        if use_mask and cls_score is not None and fg_score is not None:
-            cs, fs = cls_score.astype(f32), fg_score.astype(f32)
-            cls_mask = (cs[None, :] > cs[:n_query, None] - 0.1).astype(f32)
-            fg_mask = (fs[None, :] > fs[:n_query, None] - 0.1).astype(f32)
-            logits_cls = logits_cls * cls_mask[None]
-            logits_reg = logits_reg * fg_mask[None]
-            cls_mask = cls_mask * fg_mask
+        if fused_ok:
+            # one-kernel path: cosine QK x scale x score-guide, dual
+            # masked softmax average, attn@V both branches, all in VMEM
+            from ..ops.pallas.fused_attention import fused_dual_attention
+            score = (cls_score.astype(f32) if cls_score is not None
+                     else jnp.ones(x_cls.shape[0], f32))
+            x, xr, attn = fused_dual_attention(
+                qc0, kc0, vc, qr0, kr0, vr, score, key_valid,
+                scale=self.scale)
+            x, xr = _merge_heads(x), _merge_heads(xr)
+        else:
+            qc, kc, qr, kr = map(_l2norm, (qc0, kc0, qr0, kr0))
+            logits_cls = jnp.einsum("hqd,hkd->hqk", qc, kc,
+                                    preferred_element_type=f32) * self.scale
+            logits_reg = jnp.einsum("hqd,hkd->hqk", qr, kr,
+                                    preferred_element_type=f32) * self.scale
 
-        kmask = jnp.where(key_valid[None, None, :], 0.0, NEG)
-        attn_cls = jax.nn.softmax(logits_cls + kmask, axis=-1)
-        attn_reg = jax.nn.softmax(logits_reg + kmask, axis=-1)
-        attn = (attn_cls + attn_reg) * 0.5  # (h, q, k)
+            # score guidance on the cls branch only (post_trans.py:658,776;
+            # reg-branch guidance removed upstream 2023.12.5)
+            if cls_score is not None:
+                logits_cls = logits_cls * cls_score.astype(f32)[None, None, :]
+            if use_mask and cls_score is not None and fg_score is not None:
+                cs, fs = cls_score.astype(f32), fg_score.astype(f32)
+                cls_mask = (cs[None, :] > cs[:n_query, None] - 0.1).astype(f32)
+                fg_mask = (fs[None, :] > fs[:n_query, None] - 0.1).astype(f32)
+                logits_cls = logits_cls * cls_mask[None]
+                logits_reg = logits_reg * fg_mask[None]
+                cls_mask = cls_mask * fg_mask
 
-        x = _merge_heads(jnp.einsum("hqk,hkd->hqd", attn, vc.astype(f32)))
+            kmask = jnp.where(key_valid[None, None, :], 0.0, NEG)
+            attn_cls = jax.nn.softmax(logits_cls + kmask, axis=-1)
+            attn_reg = jax.nn.softmax(logits_reg + kmask, axis=-1)
+            attn = (attn_cls + attn_reg) * 0.5  # (h, q, k)
+            x = _merge_heads(jnp.einsum("hqk,hkd->hqd", attn,
+                                        vc.astype(f32)))
+            xr = _merge_heads(jnp.einsum("hqk,hkd->hqd", attn,
+                                         vr.astype(f32)))
+
         x_ori = _merge_heads(vc[:, :n_query].astype(f32))
         out_cls = jnp.concatenate([x, x_ori], -1).astype(self.dtype)
-        xr = _merge_heads(jnp.einsum("hqk,hkd->hqd", attn, vr.astype(f32)))
         xr_ori = _merge_heads(vr[:, :n_query].astype(f32))
         out_reg = jnp.concatenate([xr, xr_ori], -1).astype(self.dtype)
 

@@ -115,7 +115,7 @@ def postprocess_dense(decoded: jax.Array, num_classes: int,
     keep = batched_class_aware_nms(boxes[cand], cand_scores, cls_id[cand],
                                    cand_valid, nms_thre)
     surv = jnp.where(keep, cand_scores, -jnp.inf)
-    out_scores, pick = jax.lax.top_k(surv, out_k)
+    out_scores, pick = jax.lax.top_k(surv, min(out_k, surv.shape[0]))
     src = cand[pick]
     mask = out_scores > -jnp.inf
     return Detections(boxes[src], obj[src], cls_conf[src], cls_id[src], mask)

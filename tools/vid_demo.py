@@ -1,4 +1,6 @@
-"""TSCD streaming video demo (reference: tools/tscd_demo.py:302).
+"""YOLOV/YOLOV++ streaming video demo (reference: tools/vid_demo.py
+and vid_demo_wpost.py — same flow as tscd_demo with the YOLOV heads;
+--post adds REPP).
 
 Reads a video file (or image dir), chunks frames into (lframe_val +
 gframe_val) windows mirroring photo_to_sequence, streams them through the
@@ -25,7 +27,7 @@ from tscd_tpu.exp import get_exp
 def make_parser():
     parser = argparse.ArgumentParser("TSCD-TPU demo")
     parser.add_argument("-f", "--exp_file", type=str,
-                        default="exps/TSCD_VID/vid_tscd_large.py")
+                        default="exps/yolov/yolov_l.py")
     parser.add_argument("-c", "--ckpt", type=str, required=True)
     parser.add_argument("--path", type=str, required=True,
                         help="video file or image directory")

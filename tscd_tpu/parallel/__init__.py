@@ -2,8 +2,10 @@ from .dist import (all_gather_objects, gather_objects, get_rank,
                    get_world_size, initialize, is_main_process,
                    sync_batch_stats)
 from .mesh import data_sharding, make_mesh, replicated, shard_batch
+from .sharded_eval import make_sharded_tscd_eval, make_sharded_yolox_eval
 
 __all__ = ["all_gather_objects", "gather_objects", "get_rank",
            "get_world_size", "initialize", "is_main_process",
            "sync_batch_stats", "data_sharding", "make_mesh",
-           "replicated", "shard_batch"]
+           "replicated", "shard_batch", "make_sharded_tscd_eval",
+           "make_sharded_yolox_eval"]

@@ -179,6 +179,9 @@ class TSCDTrainer:
         iter_time = time.time() - t0
         self.meter.update(iter_time=iter_time, data_time=data_time,
                           **host_losses)
+        # periodic in-epoch checkpoint (reference tscd_trainer.py:346)
+        if (int(self.state.step) % 2000) == 0:
+            self.save_ckpt(epoch)
         if (n + 1) % self.exp.print_interval == 0:
             left = (iters_per_epoch - n - 1 +
                     (self.max_epoch - epoch - 1) * iters_per_epoch)

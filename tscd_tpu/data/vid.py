@@ -302,19 +302,49 @@ class OVISVideoDataset:
 
 
 def collate_window(dataset, paths: Sequence[str], max_labels: int = 120,
-                   train_time_index: bool = False, cxcywh: bool = False):
+                   train_time_index: bool = False, cxcywh: bool = False,
+                   augment: bool = False, hsv_prob: float = 1.0,
+                   flip_prob: float = 0.5):
     """Load one (lframe+gframe) window -> numpy batch dict
     (reference collate_fn / collate_fn_train, vid.py:817,838).
 
     imgs: (F, H, W, 3) float32 letterboxed (114 pad), labels (F, max, 5)
-    [cls, x1, y1, x2, y2] (or cxcywh), time_embedding (F, 256)."""
+    [cls, x1, y1, x2, y2] (or cxcywh), time_embedding (F, 256).
+
+    `augment` applies HSV jitter + horizontal flip with ONE draw per
+    window (every frame transformed identically — per-frame randomness
+    would corrupt the cross-frame matching signal the video heads
+    learn from)."""
+    from .transforms import augment_hsv
+
     H, W = dataset.img_size
     F = len(paths)
     imgs = np.full((F, H, W, 3), 114.0, np.float32)
     labels = np.zeros((F, max_labels, 5), np.float32)
     infos, idxs = [], []
+    do_hsv = augment and random.random() < hsv_prob
+    do_flip = augment and random.random() < flip_prob
+    hsv_gains = (np.random.uniform(-1, 1, 3) * [5, 30, 30]
+                 * np.random.randint(0, 2, 3)).astype(np.int16) \
+        if do_hsv else None
     for i, p in enumerate(paths):
         img, annos, info = dataset.load_frame(p)
+        if do_hsv:
+            img = np.ascontiguousarray(img)
+            import cv2 as _cv2
+            hsv = _cv2.cvtColor(img, _cv2.COLOR_BGR2HSV).astype(np.int16)
+            hsv[..., 0] = (hsv[..., 0] + hsv_gains[0]) % 180
+            hsv[..., 1] = np.clip(hsv[..., 1] + hsv_gains[1], 0, 255)
+            hsv[..., 2] = np.clip(hsv[..., 2] + hsv_gains[2], 0, 255)
+            img = _cv2.cvtColor(hsv.astype(np.uint8), _cv2.COLOR_HSV2BGR)
+        if do_flip:
+            w_img = img.shape[1]
+            img = np.ascontiguousarray(img[:, ::-1])
+            if len(annos):
+                annos = annos.copy()
+                x1 = annos[:, 0].copy()
+                annos[:, 0] = w_img - annos[:, 2]
+                annos[:, 2] = w_img - x1
         imgs[i, :img.shape[0], :img.shape[1]] = img
         n = min(len(annos), max_labels)
         if n:
@@ -340,13 +370,17 @@ class WindowLoader:
 
     def __init__(self, dataset, shuffle: bool = False, max_labels: int = 120,
                  train_time_index: bool = False, cxcywh: bool = False,
-                 prefetch: int = 2):
+                 prefetch: int = 2, augment: bool = False,
+                 hsv_prob: float = 1.0, flip_prob: float = 0.5):
         self.dataset = dataset
         self.shuffle = shuffle
         self.max_labels = max_labels
         self.train_time_index = train_time_index
         self.cxcywh = cxcywh
         self.prefetch = prefetch
+        self.augment = augment
+        self.hsv_prob = hsv_prob
+        self.flip_prob = flip_prob
 
     def __len__(self):
         return len(self.dataset.res)
@@ -363,7 +397,10 @@ class WindowLoader:
                 for paths in seqs:
                     q.put(collate_window(self.dataset, paths,
                                          self.max_labels,
-                                         self.train_time_index, self.cxcywh))
+                                         self.train_time_index, self.cxcywh,
+                                         augment=self.augment,
+                                         hsv_prob=self.hsv_prob,
+                                         flip_prob=self.flip_prob))
             finally:
                 q.put(stop)
 

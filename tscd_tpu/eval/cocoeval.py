@@ -248,3 +248,21 @@ class COCOeval:
                     else str(cat_id))
             out[name] = float(np.mean(valid)) * 100 if valid.size else float("nan")
         return out
+
+    def per_class_ar(self, iouThr=None) -> Dict[str, float]:
+        """Per-category AR table (reference coco_evaluator.py
+        per_class_AR_table)."""
+        p = self.params
+        out = {}
+        rec = self.eval["recall"]
+        for k, cat_id in enumerate(p.catIds):
+            s = rec[:, k, 0, -1]
+            if iouThr is not None:
+                t = np.where(np.isclose(p.iouThrs, iouThr))[0]
+                s = s[t]
+            valid = s[s > -1]
+            name = (self.cocoGt.cats[cat_id]["name"]
+                    if self.cocoGt and cat_id in self.cocoGt.cats
+                    else str(cat_id))
+            out[name] = float(np.mean(valid)) * 100 if valid.size else float("nan")
+        return out

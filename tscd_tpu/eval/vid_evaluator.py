@@ -120,7 +120,10 @@ class VIDEvaluator:
             f"({1000.0 / max(avg_ms, 1e-9):.1f} fps)")
         per_class = e.per_class_ap(iouThr=0.5)
         return {"mAP": float(stats[0]), "AP50": float(stats[1]),
-                "per_class_AP50": per_class, "ms_per_frame": avg_ms,
+                "per_class_AP50": per_class,
+                "per_class_AP": e.per_class_ap(),
+                "per_class_AR": e.per_class_ar(),
+                "ms_per_frame": avg_ms,
                 "stats": stats.tolist()}
 
     def _first_frame_idx(self, batch) -> int:

@@ -127,7 +127,9 @@ class Exp(YoloxExp):
         from ..data.vid import WindowLoader
         ds = self._vid_dataset(False, self.lframe, self.gframe)
         return WindowLoader(ds, shuffle=True, max_labels=120,
-                            train_time_index=True, cxcywh=True)
+                            train_time_index=True, cxcywh=True,
+                            augment=not no_aug, hsv_prob=self.hsv_prob,
+                            flip_prob=self.flip_prob)
 
     def get_eval_loader(self, lframe: Optional[int] = None,
                         gframe: Optional[int] = None):

@@ -1,3 +1,4 @@
+from .build import create_model, create_yolox_model
 from .blocks import BaseConv, Bottleneck, CSPLayer, DWConv, Focus, SPPBottleneck
 from .darknet import CSPDarknet, Darknet
 from .decoder import TransformerDecoder, set_criterion
@@ -17,6 +18,7 @@ from .yolov8 import YOLOv8, YOLOv8Head, YOLOv8PAFPN
 from .yolox import YOLOX
 
 __all__ = [
+    "create_model", "create_yolox_model",
     "BaseConv", "Bottleneck", "CSPLayer", "DWConv", "Focus",
     "SPPBottleneck", "CSPDarknet", "Darknet", "TransformerDecoder",
     "set_criterion", "ELANFPN", "ELANNet", "RepConv", "YOLOv7",

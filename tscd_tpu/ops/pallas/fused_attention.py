@@ -68,16 +68,47 @@ def _pad_to(x, m, axis):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("scale", "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def fused_dual_attention(qc, kc, vc, qr, kr, vr, cls_score, key_valid,
                          scale: float = 25.0, interpret: bool = False
                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """All inputs per-head: q* (h, q, d); k*/v* (h, k, d);
-    cls_score (k,) or None-like ones; key_valid (k,) bool.
+    cls_score (k,); key_valid (k,) bool.
 
     Returns (out_cls (h, q, d) f32, out_reg (h, q, d) f32,
-    attn (h, q, k) f32 — per-head averaged dual softmax)."""
+    attn (h, q, k) f32 — per-head averaged dual softmax).
+
+    Differentiable: the forward runs the Pallas kernel; the backward is
+    the VJP of the mathematically-identical jnp reference (the standard
+    fused-kernel custom_vjp pattern — same recompute cost as remat)."""
+    return _fused_forward(qc, kc, vc, qr, kr, vr, cls_score, key_valid,
+                          scale, interpret)
+
+
+def _fused_fwd_rule(qc, kc, vc, qr, kr, vr, cls_score, key_valid,
+                    scale, interpret):
+    out = _fused_forward(qc, kc, vc, qr, kr, vr, cls_score, key_valid,
+                         scale, interpret)
+    return out, (qc, kc, vc, qr, kr, vr, cls_score, key_valid)
+
+
+def _fused_bwd_rule(scale, interpret, res, g):
+    qc, kc, vc, qr, kr, vr, cls_score, key_valid = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e, f: dual_attention_reference(
+            a, b, c, d, e, f, cls_score, key_valid, scale),
+        qc, kc, vc, qr, kr, vr)
+    dqc, dkc, dvc, dqr, dkr, dvr = vjp(g)
+    import numpy as _np
+    zero_valid = _np.zeros(key_valid.shape, dtype=jax.dtypes.float0)
+    return (dqc, dkc, dvc, dqr, dkr, dvr,
+            jnp.zeros_like(cls_score), zero_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _fused_forward(qc, kc, vc, qr, kr, vr, cls_score, key_valid,
+                   scale: float = 25.0, interpret: bool = False
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -124,6 +155,9 @@ def fused_dual_attention(qc, kc, vc, qr, kr, vr, cls_score, key_valid,
         interpret=interpret,
     )(qc_, kc_, vc_, qr_, kr_, vr_, score, kmask)
     return out_cls[:, :q, :d], out_reg[:, :q, :d], attn[:, :q, :k]
+
+
+fused_dual_attention.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 
 def dual_attention_reference(qc, kc, vc, qr, kr, vr, cls_score, key_valid,

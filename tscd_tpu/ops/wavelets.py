@@ -62,12 +62,19 @@ class WaveletsHFBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         ch = x.shape[-1]
-        ll, lh, hl, hh = haar_dwt2d(x)
+        H, W = x.shape[1], x.shape[2]
+        # pad odd spatial dims (edge mode) so the 2x2 DWT blocks tile;
+        # crop back after the inverse transform
+        ph, pw = H % 2, W % 2
+        xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge") \
+            if (ph or pw) else x
+        ll, lh, hl, hh = haar_dwt2d(xp)
         hf = jnp.concatenate([lh, hl, hh], axis=-1)
         hf = nn.Conv(ch * 3, (1, 1), dtype=self.dtype, name="filter1")(hf)
         hf = jax.nn.relu(hf)
         lh2, hl2, hh2 = jnp.split(hf, 3, axis=-1)
-        edge = haar_idwt2d(jnp.zeros_like(ll), lh2, hl2, hh2)
+        edge = haar_idwt2d(jnp.zeros_like(ll), lh2, hl2, hh2)[
+            :, :H, :W, :]
         content = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
                           dtype=self.dtype, name="filter2")(x)
         content = jax.nn.relu(content)

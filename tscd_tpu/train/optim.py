@@ -44,8 +44,15 @@ def build_sgd(schedule: Callable, momentum: float = 0.9,
               weight_decay: float = 5e-4, nesterov: bool = True,
               freeze_prefixes: Sequence[str] = (),
               stem_lr_prefixes: Sequence[str] = (),
-              stem_lr_ratio: float = 1.0) -> optax.GradientTransformation:
-    """SGD with param groups. `schedule` maps step -> lr."""
+              stem_lr_ratio: float = 1.0,
+              clip_grad_norm: Optional[float] = 35.0
+              ) -> optax.GradientTransformation:
+    """SGD with param groups. `schedule` maps step -> lr.
+
+    `clip_grad_norm` guards against the loss-spike blowups the reference
+    absorbs via its fp16 GradScaler inf-step skipping (tscd_trainer.py
+    autocast+GradScaler); bf16 training has no scaler, so a global-norm
+    clip is the equivalent safety. None disables."""
 
     def sgd(decay, ratio):
         chain = []
@@ -62,7 +69,10 @@ def build_sgd(schedule: Callable, momentum: float = 0.9,
         "stem_no_decay": sgd(False, stem_lr_ratio),
         "frozen": optax.set_to_zero(),
     }
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         transforms,
         lambda params: _label_params(params, tuple(freeze_prefixes),
                                      tuple(stem_lr_prefixes)))
+    if clip_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
+    return tx

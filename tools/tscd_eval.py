@@ -70,6 +70,12 @@ def main():
                                       exp.gframe_val)
     res = evaluator.evaluate(predict)
     print(res.get("mAP"), res.get("AP50"))
+    if args.output:
+        import json
+        with open(args.output, "w") as f:
+            json.dump({k: v for k, v in res.items()
+                       if not hasattr(v, "shape")}, f, indent=1)
+        print(f"wrote {args.output}")
 
 
 if __name__ == "__main__":

@@ -166,8 +166,21 @@ class TSCDTrainer:
 
     def _one_iter(self, batch, epoch, n, iters_per_epoch, data_t0):
         F = self.lframe + self.gframe
-        frames = jax.device_put(jnp.asarray(batch["imgs"][:F]))
-        labels = jax.device_put(jnp.asarray(batch["labels"][:F]))
+        imgs_np = batch["imgs"][:F]
+        labels_np = batch["labels"][:F]
+        if getattr(self.exp, "enable_multiscale", False):
+            # re-sample every 10 iters (reference trainer's multiscale
+            # cadence); each size is a separately-cached compile
+            import random as _random
+            from ..data.vid import multiscale_resize
+            if n % 10 == 0 or not hasattr(self, "_ms_size"):
+                self._ms_size = self.exp.random_input_size(
+                    _random.Random(int(self.state.step) if self.state
+                                   is not None else 0))
+            imgs_np, labels_np = multiscale_resize(
+                np.asarray(imgs_np), np.asarray(labels_np), self._ms_size)
+        frames = jax.device_put(jnp.asarray(imgs_np))
+        labels = jax.device_put(jnp.asarray(labels_np))
         te = jax.device_put(jnp.asarray(
             batch["time_embedding"][:F], jnp.float32))
         data_time = time.time() - data_t0

@@ -223,6 +223,26 @@ class VIDDataset:
         return int(digits) if digits else 0
 
 
+def multiscale_resize(imgs: np.ndarray, labels: np.ndarray,
+                      target_hw: Tuple[int, int]):
+    """Resize a (F, H, W, 3) window + scale [cls, x, y, ...] labels
+    (reference exp.preprocess / random_resize, tscd_base.py:382-424:
+    on-GPU interpolate there; host cv2 here, feeding a per-size cached
+    jit program)."""
+    import cv2 as _cv2
+    F, H, W = imgs.shape[:3]
+    th, tw = target_hw
+    if (th, tw) == (H, W):
+        return imgs, labels
+    out = np.stack([
+        _cv2.resize(imgs[f], (tw, th), interpolation=_cv2.INTER_LINEAR)
+        for f in range(F)])
+    lab = labels.copy()
+    lab[..., 1:5] *= np.array([tw / W, th / H, tw / W, th / H],
+                              np.float32)
+    return out.astype(np.float32), lab
+
+
 class OVISVideoDataset:
     """OVIS per-frame COCO-json video dataset (reference OVIS,
     vid.py:560). Short videos are padded by repeating the last frame."""
@@ -299,6 +319,16 @@ class OVISVideoDataset:
         stem = os.path.splitext(os.path.basename(file_name))[0]
         digits = "".join(c for c in stem.split("_")[-1] if c.isdigit())
         return int(digits) if digits else 0
+
+
+class ArgoverseVideoDataset(OVISVideoDataset):
+    """Argoverse-HD video dataset (reference Arg_VID, vid.py:345):
+    COCO-json per-frame annotations grouped into videos by `sid` — the
+    same container format OVIS uses, different category set (8 classes)
+    and directory layout."""
+
+    ARGOVERSE_CLASSES = ("person", "bicycle", "car", "motorcycle", "bus",
+                         "truck", "traffic_light", "stop_sign")
 
 
 def collate_window(dataset, paths: Sequence[str], max_labels: int = 120,

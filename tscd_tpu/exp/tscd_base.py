@@ -81,6 +81,7 @@ class Exp(YoloxExp):
                     width=self.width, act=self.act,
                     depthwise=self.depthwise,
                     num_proposals=self.minimal_limit, heads=self.heads,
+                    agg_type=self.agg_type,
                     reconf=self.reconf, decouple_reg=self.decouple_reg,
                     use_pre_nms=self.use_pre_nms,
                     sim_thresh=self.sim_thresh, test_conf=0.001)

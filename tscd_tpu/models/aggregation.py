@@ -254,6 +254,32 @@ class MCAg2l(nn.Module):
         return out_cls, out_reg
 
 
+class MCAg2lAware(nn.Module):
+    """Edge-aware MCA (Attention_mca_aware_g2l, post_trans.py:366 +
+    MCA_tscd_aware_g2l_{cls,reg}:1071,1165): key/value features are
+    SE-gated with the wavelet edge features before the cross-frame
+    attention; otherwise identical to MCAg2l."""
+
+    out_dim: int
+    num_heads: int = 4
+    scale: float = 25.0
+    reconf: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat_cls: jax.Array, feat_reg: jax.Array,
+                 edge: jax.Array, cls_score: jax.Array,
+                 fg_score: jax.Array, valid: jax.Array, lframe: int,
+                 sim_thresh: float = 0.75, ave: bool = True,
+                 use_mask: bool = False):
+        from .matching import SEGate
+        fused_reg = SEGate(dtype=self.dtype, name="se")(feat_reg, edge)
+        return MCAg2l(self.out_dim, self.num_heads, self.scale,
+                      self.reconf, dtype=self.dtype, name="mca")(
+            feat_cls, fused_reg, cls_score, fg_score, valid, lframe,
+            sim_thresh=sim_thresh, ave=ave, use_mask=use_mask)
+
+
 class MSAYolov(nn.Module):
     """MSA_yolov (post_trans.py:1227): full self-attention over all
     proposals; round-2 pools the linear1-projected 2C features -> 4C ->

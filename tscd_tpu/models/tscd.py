@@ -25,6 +25,7 @@ class TSCD(nn.Module):
     depthwise: bool = False
     num_proposals: int = 50
     heads: int = 4
+    agg_type: str = "mca"
     reconf: bool = True
     decouple_reg: bool = True
     use_pre_nms: bool = False
@@ -38,6 +39,7 @@ class TSCD(nn.Module):
         self.head = TSCDHead(
             num_classes=self.num_classes, width=self.width, act=self.act,
             depthwise=self.depthwise, heads=self.heads,
+            agg_type=self.agg_type,
             num_proposals=self.num_proposals, reconf=self.reconf,
             decouple_reg=self.decouple_reg, use_pre_nms=self.use_pre_nms,
             sim_thresh=self.sim_thresh, test_conf=self.test_conf,

@@ -130,6 +130,7 @@ class TSCDHead(nn.Module):
     act: str = "silu"
     depthwise: bool = False
     heads: int = 4
+    agg_type: str = "mca"            # 'mca' | 'mca_aware' (SE edge keys)
     num_proposals: int = 50          # Afternum/minimal_limit merged: fixed P
     pre_nms: float = 0.75
     sim_thresh: float = 0.75
@@ -229,17 +230,36 @@ class TSCDHead(nn.Module):
         f_edge = take(edge_feat, props.idx)
 
         # cross-frame aggregation: cls branch (:480) and reg branch (:491)
-        agg_cls, _ = MCAg2l(4 * hidden, self.heads, reconf=False, dtype=dt,
-                            name="agg")(
-            f_cls, f_reg, props.cls_conf, props.obj, props.valid, lframe,
-            sim_thresh=self.sim_thresh, ave=self.ave, use_mask=self.use_mask)
+        if self.agg_type == "mca_aware":
+            from .aggregation import MCAg2lAware
+            agg_cls, _ = MCAg2lAware(4 * hidden, self.heads, reconf=False,
+                                     dtype=dt, name="agg")(
+                f_cls, f_reg, f_edge, props.cls_conf, props.obj,
+                props.valid, lframe, sim_thresh=self.sim_thresh,
+                ave=self.ave, use_mask=self.use_mask)
+        else:
+            agg_cls, _ = MCAg2l(4 * hidden, self.heads, reconf=False,
+                                dtype=dt, name="agg")(
+                f_cls, f_reg, props.cls_conf, props.obj, props.valid,
+                lframe, sim_thresh=self.sim_thresh, ave=self.ave,
+                use_mask=self.use_mask)
 
         if self.decouple_reg:
-            agg_iou_cls, agg_obj = MCAg2l(4 * hidden, self.heads, reconf=True,
-                                          dtype=dt, name="agg_iou")(
-                f_cls, f_reg, props.cls_conf, props.obj, props.valid, lframe,
-                sim_thresh=self.sim_thresh, ave=self.ave,
-                use_mask=self.use_mask)
+            if self.agg_type == "mca_aware":
+                from .aggregation import MCAg2lAware
+                agg_iou_cls, agg_obj = MCAg2lAware(
+                    4 * hidden, self.heads, reconf=True, dtype=dt,
+                    name="agg_iou")(
+                    f_cls, f_reg, f_edge, props.cls_conf, props.obj,
+                    props.valid, lframe, sim_thresh=self.sim_thresh,
+                    ave=self.ave, use_mask=self.use_mask)
+            else:
+                agg_iou_cls, agg_obj = MCAg2l(
+                    4 * hidden, self.heads, reconf=True, dtype=dt,
+                    name="agg_iou")(
+                    f_cls, f_reg, props.cls_conf, props.obj, props.valid,
+                    lframe, sim_thresh=self.sim_thresh, ave=self.ave,
+                    use_mask=self.use_mask)
 
             if matcher_state is None:
                 matcher_state = init_matcher_state(P, hidden, 4 * hidden,

@@ -82,6 +82,7 @@ class Exp(YoloxExp):
                     depthwise=self.depthwise,
                     num_proposals=self.minimal_limit, heads=self.heads,
                     agg_type=self.agg_type,
+                    decoder_layer_num=self.decoder_layer_num,
                     reconf=self.reconf, decouple_reg=self.decouple_reg,
                     use_pre_nms=self.use_pre_nms,
                     sim_thresh=self.sim_thresh, test_conf=0.001)

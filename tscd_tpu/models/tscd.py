@@ -26,6 +26,7 @@ class TSCD(nn.Module):
     num_proposals: int = 50
     heads: int = 4
     agg_type: str = "mca"
+    decoder_layer_num: int = 1
     reconf: bool = True
     decouple_reg: bool = True
     use_pre_nms: bool = False
@@ -40,6 +41,7 @@ class TSCD(nn.Module):
             num_classes=self.num_classes, width=self.width, act=self.act,
             depthwise=self.depthwise, heads=self.heads,
             agg_type=self.agg_type,
+            decoder_layer_num=self.decoder_layer_num,
             num_proposals=self.num_proposals, reconf=self.reconf,
             decouple_reg=self.decouple_reg, use_pre_nms=self.use_pre_nms,
             sim_thresh=self.sim_thresh, test_conf=self.test_conf,

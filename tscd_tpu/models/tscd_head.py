@@ -131,6 +131,7 @@ class TSCDHead(nn.Module):
     depthwise: bool = False
     heads: int = 4
     agg_type: str = "mca"            # 'mca' | 'mca_aware' (SE edge keys)
+    decoder_layer_num: int = 1       # referring cross-attn layers (CAFM)
     num_proposals: int = 50          # Afternum/minimal_limit merged: fixed P
     pre_nms: float = 0.75
     sim_thresh: float = 0.75
@@ -265,7 +266,8 @@ class TSCDHead(nn.Module):
                 matcher_state = init_matcher_state(P, hidden, 4 * hidden,
                                                    dtype=dt)
             matched, new_state = RegMatcher(
-                num_heads=8, num_layers=1, dtype=dt, name="local_reg_matcher")(
+                num_heads=8, num_layers=self.decoder_layer_num, dtype=dt,
+                name="local_reg_matcher")(
                 f_reg[:lframe], agg_obj, agg_iou_cls, f_edge[:lframe],
                 time_embedding[:lframe].astype(dt), props.valid[:lframe],
                 matcher_state)

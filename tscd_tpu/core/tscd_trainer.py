@@ -222,17 +222,25 @@ class TSCDTrainer:
         return eval_fn
 
     def make_predict_fn(self, variables, lframe, gframe):
-        """Returns predict_fn(imgs, te, resume, state) for VIDEvaluator."""
+        """Returns predict_fn(imgs, te, resume, state) for VIDEvaluator.
+
+        Also exposes `.dispatch` / `.materialize` so the evaluator can
+        pipeline: dispatch window i+1 (async upload + compute) before
+        materializing window i's results to the host — the JAX analogue
+        of the reference's CUDA-stream DataPrefetcher overlap."""
         eval_fn = self._build_eval_fn(lframe, gframe)
         P = self.exp.minimal_limit
         hidden = int(256 * self.exp.width)
         fresh = init_matcher_state(P, hidden, 4 * hidden)
 
-        def predict(imgs, te, resume, state):
+        def dispatch(imgs, te, resume, state):
             st = state if (resume and state is not None) else fresh
             refined, original, new_st = eval_fn(
                 variables, jnp.asarray(imgs),
                 jnp.asarray(te, jnp.float32), st)
+            return refined, new_st
+
+        def materialize(refined):
             refined = jax.tree_util.tree_map(np.asarray, refined)
             dets = []
             for f in range(lframe):
@@ -242,8 +250,14 @@ class TSCDTrainer:
                     refined.score[f][:, None],
                     refined.cls_id[f][:, None].astype(np.float32)], -1)
                 dets.append(rows[m])
-            return dets, new_st
+            return dets
 
+        def predict(imgs, te, resume, state):
+            refined, new_st = dispatch(imgs, te, resume, state)
+            return materialize(refined), new_st
+
+        predict.dispatch = dispatch
+        predict.materialize = materialize
         return predict
 
     def evaluate(self) -> float:

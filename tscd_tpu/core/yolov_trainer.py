@@ -42,10 +42,23 @@ class YOLOVTrainer(TSCDTrainer):
         variables = self._init_variables(x, te, self.lframe, self.gframe)
         iters = max(len(self.train_loader), 1)
         self.tx = exp.get_optimizer(iters)
-        from ..train.step import init_train_state
         from ..train.checkpoint import load_checkpoint, load_tolerant
+        from ..train.step import init_train_state
         ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
-        if ckpt_path:
+        if getattr(self.args, "resume", False) and self.args:
+            import os as _os
+            path = ckpt_path or _os.path.join(self.file_name,
+                                              "latest_ckpt.msgpack")
+            restored = load_checkpoint(path)
+            self.start_epoch = int(restored.get("start_epoch", 0))
+            variables = {
+                "params": load_tolerant(variables["params"],
+                                        restored["params"]),
+                "batch_stats": load_tolerant(
+                    variables.get("batch_stats", {}),
+                    restored.get("batch_stats", {}))}
+            print(f"resumed from {path} at epoch {self.start_epoch}")
+        elif ckpt_path:
             restored = load_checkpoint(ckpt_path)
             variables = {
                 "params": load_tolerant(variables["params"],
@@ -53,7 +66,11 @@ class YOLOVTrainer(TSCDTrainer):
                 "batch_stats": load_tolerant(
                     variables.get("batch_stats", {}),
                     restored.get("batch_stats", {}))}
+            print(f"loaded fine-tune weights from {ckpt_path}")
         self.state = init_train_state(variables, self.tx)
+        if self.start_epoch:
+            self.state = self.state._replace(
+                step=jnp.asarray(self.start_epoch * iters, jnp.int32))
 
     def _build_train_step(self):
         exp = self.exp
@@ -112,9 +129,12 @@ class YOLOVTrainer(TSCDTrainer):
             refined, original = yolov_eval_postprocess(out, R, C)
             return refined, original
 
-        def predict(imgs, te, resume, state):
-            refined, original = eval_fn(variables, jnp.asarray(imgs),
-                                        jnp.asarray(te, jnp.float32))
+        def dispatch(imgs, te, resume, state):
+            refined, _ = eval_fn(variables, jnp.asarray(imgs),
+                                 jnp.asarray(te, jnp.float32))
+            return refined, state
+
+        def materialize(refined):
             refined = jax.tree_util.tree_map(np.asarray, refined)
             dets = []
             for f in range(R):
@@ -124,6 +144,12 @@ class YOLOVTrainer(TSCDTrainer):
                     refined.score[f][:, None],
                     refined.cls_id[f][:, None].astype(np.float32)], -1)
                 dets.append(rows[m])
-            return dets, state
+            return dets
 
+        def predict(imgs, te, resume, state):
+            refined, state = dispatch(imgs, te, resume, state)
+            return materialize(refined), state
+
+        predict.dispatch = dispatch
+        predict.materialize = materialize
         return predict

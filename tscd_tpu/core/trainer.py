@@ -92,8 +92,19 @@ class Trainer:
             for n in range(self.iters_per_epoch):
                 batch = sample if (epoch == self.start_epoch and n == 0
                                    and not no_aug) else next(it)
-                frames = jax.device_put(jnp.asarray(batch["imgs"]))
-                labels = jax.device_put(jnp.asarray(batch["labels"]))
+                imgs_np, labels_np = batch["imgs"], batch["labels"]
+                if getattr(exp, "enable_multiscale", False) and not no_aug:
+                    import random as _random
+
+                    from ..data.vid import multiscale_resize
+                    if n % 10 == 0 or not hasattr(self, "_ms_size"):
+                        self._ms_size = exp.random_input_size(
+                            _random.Random(int(self.state.step)))
+                    imgs_np, labels_np = multiscale_resize(
+                        np.asarray(imgs_np), np.asarray(labels_np),
+                        self._ms_size)
+                frames = jax.device_put(jnp.asarray(imgs_np))
+                labels = jax.device_put(jnp.asarray(labels_np))
                 data_time = time.time() - data_t0
                 t0 = time.time()
                 self.state, losses = step_fn(self.state, frames, labels)

@@ -31,6 +31,7 @@ class Exp(BaseExp):
         self.val_name = "val2017"
         self.input_size = (640, 640)
         self.multiscale_range = 5
+        self.enable_multiscale = False   # each size = one cached compile
         self.data_num_workers = 4
         self.flip_prob = 0.5
         self.hsv_prob = 1.0

@@ -24,7 +24,8 @@ class VIDEvaluator:
     def __init__(self, dataloader, img_size=(576, 576), confthre=0.001,
                  nmsthre=0.5, num_classes=30,
                  class_names: Optional[Sequence[str]] = None,
-                 lframe=1, gframe=31, first_frame_index: int = 0):
+                 lframe=1, gframe=31, first_frame_index: int = 0,
+                 traj_linking: bool = False):
         self.dataloader = dataloader
         self.img_size = img_size
         self.confthre = confthre
@@ -34,6 +35,10 @@ class VIDEvaluator:
         self.lframe = lframe
         self.gframe = gframe
         self.first_frame_index = first_frame_index
+        # tubelet-averaged rescoring across each video before COCO
+        # scoring (reference traj_linking + post_linking,
+        # post_process.py:321)
+        self.traj_linking = traj_linking
 
     def evaluate(self, predict_fn: Callable, log=print) -> Dict:
         """predict_fn(imgs (F,H,W,3), time_emb (F,256), resume: bool,
@@ -84,7 +89,36 @@ class VIDEvaluator:
                 yield pending[0], predict_fn.materialize(pending[1])
             forward_time += time.time() - t_loop
 
-        for batch, dets_frames in batches():
+        def linked_batches():
+            """Buffer each video's windows and apply tubelet-averaged
+            rescoring before emitting (traj_linking mode)."""
+            if not self.traj_linking:
+                yield from batches()
+                return
+            import os as _os
+
+            from ..postprocess.linking import post_linking
+            buf, cur_video = [], None
+
+            def flush():
+                frames = [d for _, ds in buf for d in ds]
+                linked = post_linking(frames)
+                k = 0
+                for b, ds in buf:
+                    yield b, linked[k:k + len(ds)]
+                    k += len(ds)
+
+            for batch, dets in batches():
+                video = _os.path.dirname(batch["paths"][0])
+                if cur_video is not None and video != cur_video and buf:
+                    yield from flush()
+                    buf = []
+                cur_video = video
+                buf.append((batch, dets))
+            if buf:
+                yield from flush()
+
+        for batch, dets_frames in linked_batches():
             n_samples += len(dets_frames)
             for f, dets in enumerate(dets_frames):
                 img_h, img_w = batch["infos"][f]

@@ -147,7 +147,8 @@ class Exp(YoloxExp):
         return cls(val_loader or self.get_eval_loader(),
                    img_size=self.test_size, confthre=0.001, nmsthre=0.5,
                    num_classes=self.num_classes,
-                   lframe=self.lframe_val, gframe=self.gframe_val)
+                   lframe=self.lframe_val, gframe=self.gframe_val,
+                   traj_linking=self.traj_linking)
 
     def get_trainer(self, args=None):
         from ..core.tscd_trainer import TSCDTrainer

@@ -115,7 +115,9 @@ class TSCDTrainer:
                                            G, True,
                                            mutable=["batch_stats"])
                     new_bs = mut["batch_stats"]
-                losses = tscd_loss(out, labels, (8, 16, 32), L)
+                losses = tscd_loss(out, labels, (8, 16, 32), L,
+                                   ota_mode=getattr(exp, "ota_mode",
+                                                    True))
                 return losses["total_loss"], (losses, new_bs)
 
             (_, (losses, new_bs)), grads = jax.value_and_grad(

@@ -39,8 +39,31 @@ def smooth_l1(x: jax.Array, beta: float = 1.0) -> jax.Array:
     return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
 
 
+def iou_based_refined_targets(prop_boxes: jax.Array, prop_valid: jax.Array,
+                              gt_boxes: jax.Array, gt_classes: jax.Array,
+                              gt_valid: jax.Array, num_classes: int,
+                              fg_iou: float = 0.6, bg_iou: float = 0.3):
+    """IoU-based refined labels (reference get_iou_based_label,
+    tscd_head.py:1853 — the ota_mode=False alternative): a proposal is
+    foreground iff its IoU with some gt >= fg_iou (label = that gt's
+    class), background if best IoU < bg_iou, ignored in between.
+
+    prop_boxes (P, 4) xyxy; gt_boxes (G, 4) cxcywh. Returns
+    (fg (P,), ignore (P,), cls_target (P, C))."""
+    from ..ops.boxes import box_cxcywh_to_xyxy, pairwise_iou_xyxy
+    iou = pairwise_iou_xyxy(prop_boxes, box_cxcywh_to_xyxy(gt_boxes))
+    iou = jnp.where(gt_valid[None, :], iou, 0.0)
+    best_iou = jnp.max(iou, axis=1)
+    best_gt = jnp.argmax(iou, axis=1)
+    fg = (best_iou >= fg_iou) & prop_valid
+    ignore = (best_iou >= bg_iou) & ~fg
+    cls_target = (jax.nn.one_hot(gt_classes[best_gt], num_classes)
+                  * best_iou[:, None] * fg[:, None])
+    return fg, ignore, cls_target
+
+
 def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
-              lframe: int) -> Dict[str, jax.Array]:
+              lframe: int, ota_mode: bool = True) -> Dict[str, jax.Array]:
     """TSCD refined losses (reference tscd_head.py:1008
     get_matcher_refined_losses, ota_mode/reconf path of vid_tscd_large):
 
@@ -87,9 +110,19 @@ def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
     take = jax.vmap(lambda a, i: a[i])
     l_idx = props.idx[:lframe]                              # (L, P)
     slot_valid = props.valid[:lframe].astype(jnp.float32)
-    refined_fg = take(tgt.fg_mask[:lframe], l_idx) & props.valid[:lframe]
+    if ota_mode:
+        # OTA-based: gather the per-anchor SimOTA output at the proposal
+        # anchors (tscd_head.py:540-609)
+        refined_fg = take(tgt.fg_mask[:lframe], l_idx) & props.valid[:lframe]
+        refined_cls_t = take(tgt.cls_target[:lframe], l_idx)   # (L, P, C)
+    else:
+        # IoU-based refined labels (get_iou_based_label, :1853)
+        refined_fg, _, refined_cls_t = jax.vmap(
+            iou_based_refined_targets, in_axes=(0, 0, 0, 0, 0, None))(
+            props.boxes[:lframe], props.valid[:lframe],
+            gt_boxes[:lframe], gt_classes[:lframe], gt_valid[:lframe],
+            num_classes)
     refined_fg_f = refined_fg.astype(jnp.float32)
-    refined_cls_t = take(tgt.cls_target[:lframe], l_idx)    # (L, P, C)
     refined_reg_t = take(tgt.reg_target[:lframe], l_idx)    # (L, P, 4)
 
     loss_refined_cls = jnp.sum(

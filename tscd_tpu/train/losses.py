@@ -46,10 +46,12 @@ def iou_based_refined_targets(prop_boxes: jax.Array, prop_valid: jax.Array,
     """IoU-based refined labels (reference get_iou_based_label,
     tscd_head.py:1853 — the ota_mode=False alternative): a proposal is
     foreground iff its IoU with some gt >= fg_iou (label = that gt's
-    class), background if best IoU < bg_iou, ignored in between.
+    class), background if best IoU < bg_iou, IGNORED in between (no obj
+    supervision — the reference's refine_obj_masks exclusion).
 
     prop_boxes (P, 4) xyxy; gt_boxes (G, 4) cxcywh. Returns
-    (fg (P,), ignore (P,), cls_target (P, C))."""
+    (fg (P,), ignore (P,), cls_target (P, C),
+    reg_target (P, 4) cxcywh of the best-IoU gt)."""
     from ..ops.boxes import box_cxcywh_to_xyxy, pairwise_iou_xyxy
     iou = pairwise_iou_xyxy(prop_boxes, box_cxcywh_to_xyxy(gt_boxes))
     iou = jnp.where(gt_valid[None, :], iou, 0.0)
@@ -59,7 +61,8 @@ def iou_based_refined_targets(prop_boxes: jax.Array, prop_valid: jax.Array,
     ignore = (best_iou >= bg_iou) & ~fg
     cls_target = (jax.nn.one_hot(gt_classes[best_gt], num_classes)
                   * best_iou[:, None] * fg[:, None])
-    return fg, ignore, cls_target
+    reg_target = gt_boxes[best_gt]
+    return fg, ignore, cls_target, reg_target
 
 
 def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
@@ -106,24 +109,30 @@ def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
         jnp.sum(bce_with_logits(cls_logits, tgt.cls_target), -1) * fg) / num_fg
 
     # refined targets at local-frame proposal anchors
-    num_fg_local = jnp.maximum(jnp.sum(tgt.num_fg[:lframe]), 1.0)
     take = jax.vmap(lambda a, i: a[i])
     l_idx = props.idx[:lframe]                              # (L, P)
     slot_valid = props.valid[:lframe].astype(jnp.float32)
     if ota_mode:
         # OTA-based: gather the per-anchor SimOTA output at the proposal
-        # anchors (tscd_head.py:540-609)
+        # anchors (tscd_head.py:540-609); normalize by the SimOTA fg count
         refined_fg = take(tgt.fg_mask[:lframe], l_idx) & props.valid[:lframe]
         refined_cls_t = take(tgt.cls_target[:lframe], l_idx)   # (L, P, C)
+        refined_reg_t = take(tgt.reg_target[:lframe], l_idx)   # (L, P, 4)
+        obj_weight = slot_valid
+        num_fg_local = jnp.maximum(jnp.sum(tgt.num_fg[:lframe]), 1.0)
     else:
-        # IoU-based refined labels (get_iou_based_label, :1853)
-        refined_fg, _, refined_cls_t = jax.vmap(
+        # IoU-based refined labels (get_iou_based_label, :1853): reg
+        # target = the best-IoU gt; ignore band gets NO obj supervision;
+        # normalize by the IoU-fg count (reference refine_*_masks sums)
+        refined_fg, ignore, refined_cls_t, refined_reg_t = jax.vmap(
             iou_based_refined_targets, in_axes=(0, 0, 0, 0, 0, None))(
             props.boxes[:lframe], props.valid[:lframe],
             gt_boxes[:lframe], gt_classes[:lframe], gt_valid[:lframe],
             num_classes)
+        obj_weight = slot_valid * (1.0 - ignore.astype(jnp.float32))
+        num_fg_local = jnp.maximum(
+            jnp.sum(refined_fg.astype(jnp.float32)), 1.0)
     refined_fg_f = refined_fg.astype(jnp.float32)
-    refined_reg_t = take(tgt.reg_target[:lframe], l_idx)    # (L, P, 4)
 
     loss_refined_cls = jnp.sum(
         jnp.sum(bce_with_logits(
@@ -133,7 +142,7 @@ def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
     if "matcher_obj_logits" in head_out:
         loss_matched_obj = jnp.sum(
             bce_with_logits(head_out["matcher_obj_logits"].astype(jnp.float32),
-                            refined_fg_f) * slot_valid) / num_fg_local
+                            refined_fg_f) * obj_weight) / num_fg_local
         # clip at 15 (reference :1186-1187) without killing the gradient
         loss_matched_obj = jnp.where(
             loss_matched_obj > 15.0,

@@ -70,7 +70,8 @@ def make_yolox_train_step(model, tx, strides=(8, 16, 32),
 
 def make_tscd_train_step(model, tx, lframe: int, gframe: int,
                          strides=(8, 16, 32),
-                         ema_decay: float = 0.9998) -> Callable:
+                         ema_decay: float = 0.9998,
+                         ota_mode: bool = True) -> Callable:
     """Video train step over one (lframe+gframe) window:
     (state, frames (F,H,W,3), labels (F,G,5), time_emb (F,256))
     -> (state, metrics). Matcher state resets each window (the reference
@@ -81,9 +82,9 @@ def make_tscd_train_step(model, tx, lframe: int, gframe: int,
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 frames, time_emb, lframe, gframe, True,
-                mutable=["batch_stats"],
-                method=lambda mdl, *a: mdl(*a, train=True))
-            losses = tscd_loss(out, labels, strides, lframe)
+                mutable=["batch_stats"])
+            losses = tscd_loss(out, labels, strides, lframe,
+                               ota_mode=ota_mode)
             return losses["total_loss"], (losses, mut["batch_stats"])
 
         (_, (losses, new_bs)), grads = jax.value_and_grad(

@@ -28,8 +28,74 @@ def make_parser():
     p.add_argument("--output", type=str, default="model.stablehlo")
     p.add_argument("--tsize", type=int, default=None)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--video", action="store_true",
+                   help="export the TSCD streaming step: "
+                        "(frames, time_emb, matcher_state) -> "
+                        "(refined dets, original dets, new state)")
     p.add_argument("opts", nargs="*")
     return p
+
+
+def export_tscd(exp, args):
+    """Streaming TSCD eval-step export: the matcher state is part of the
+    signature, so the consumer threads it between windows exactly like
+    tscd_tpu's own evaluator."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jax_export
+
+    from tscd_tpu.models.matching import MatcherState, init_matcher_state
+    from tscd_tpu.models.tscd import tscd_eval_postprocess
+    from tscd_tpu.ops.position import get_timing_signal_1d
+    from tscd_tpu.ops.postprocess import Detections
+    from tscd_tpu.train.checkpoint import load_checkpoint, load_tolerant
+
+    for nt, name in ((MatcherState, "tscd_tpu.MatcherState"),
+                     (Detections, "tscd_tpu.Detections")):
+        try:
+            jax_export.register_namedtuple_serialization(
+                nt, serialized_name=name)
+        except ValueError:
+            pass  # already registered
+
+    L, G = exp.lframe_val, exp.gframe_val
+    F = L + G
+    H, W = exp.test_size
+    model = exp.get_model()
+    x = jnp.zeros((F, H, W, 3), jnp.float32)
+    te = jnp.asarray(get_timing_signal_1d(np.arange(F), 256), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, te, L, G)
+    if args.ckpt:
+        restored = load_checkpoint(args.ckpt)
+        variables = {
+            "params": load_tolerant(variables["params"],
+                                    restored.get("params", restored)),
+            "batch_stats": load_tolerant(
+                variables.get("batch_stats", {}),
+                restored.get("batch_stats", {}))}
+    hidden = int(256 * exp.width)
+    st0 = init_matcher_state(exp.minimal_limit, hidden, 4 * hidden)
+
+    def step(frames, time_emb, state):
+        out = model.apply(variables, frames, time_emb, L, G, False, state)
+        refined, original = tscd_eval_postprocess(out, L, exp.num_classes)
+        return refined, original, out["matcher_state"]
+
+    exported = jax_export.export(jax.jit(step))(
+        jax.ShapeDtypeStruct((F, H, W, 3), jnp.float32),
+        jax.ShapeDtypeStruct((F, 256), jnp.float32),
+        jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), st0))
+    blob = exported.serialize()
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"exported TSCD streaming step {args.output} "
+          f"({len(blob)} bytes); window (F={F}, {H}, {W}, 3)")
+    restored_fn = jax_export.deserialize(blob)
+    r = restored_fn.call(x, te, st0)
+    print("round-trip OK:", jax.tree_util.tree_map(
+        lambda a: a.shape, r[0]))
 
 
 def main():
@@ -44,6 +110,8 @@ def main():
     exp.merge(args.opts)
     if args.tsize:
         exp.test_size = (args.tsize, args.tsize)
+    if args.video:
+        return export_tscd(exp, args)
     H, W = exp.test_size
 
     model = exp.get_model()

@@ -37,11 +37,9 @@ def main():
     from tscd_tpu.models.tscd import TSCD
     from tscd_tpu.ops.position import get_timing_signal_1d
 
-    # The reference eval window is lframe=1/gframe=31 (F=32); the axon
-    # TPU tunnel in this environment kernel-faults on the F=32 conv batch,
-    # so the bench runs two F=16 windows' worth of frames per unit —
-    # same per-frame math, same streaming matcher state.
-    L, G = 1, 15
+    # the reference TSCD-Large VID eval window: lframe=1 / gframe=31
+    # (exps/TSCD_VID/vid_tscd_large.py)
+    L, G = 1, 31
     F, H, W = L + G, 576, 576
     width = 1.0
     P = 50

@@ -27,16 +27,30 @@ from flax import linen as nn
 
 
 def haar_dwt2d(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """(B, H, W, C) -> (LL, LH, HL, HH) each (B, H/2, W/2, C)."""
-    a = x[:, 0::2, 0::2, :]  # top-left
-    b = x[:, 0::2, 1::2, :]  # top-right
-    c = x[:, 1::2, 0::2, :]  # bottom-left
-    d = x[:, 1::2, 1::2, :]  # bottom-right
-    ll = (a + b + c + d) * 0.5
-    lh = (-a - b + c + d) * 0.5
-    hl = (-a + b - c + d) * 0.5
-    hh = (a - b - c + d) * 0.5
-    return ll, lh, hl, hh
+    """(B, H, W, C) -> (LL, LH, HL, HH) each (B, H/2, W/2, C).
+
+    Implemented as ONE depthwise stride-2 conv with fixed orthonormal
+    2x2 filters (the reference's conv formulation,
+    surrounding_extraction.py:12): on the axon TPU the equivalent
+    double-strided-slice formulation kernel-faults the worker at
+    (32, 72, 72, 256), while grouped convs are the proven-stable path.
+    """
+    B, H, W, C = x.shape
+    # base (2, 2, 1, 4): filter taps for [ll, lh, hl, hh] at positions
+    # a=TL, b=TR, c=BL, d=BR
+    base = jnp.asarray(
+        [[[[0.5, -0.5, -0.5, 0.5]],      # a
+          [[0.5, -0.5, 0.5, -0.5]]],     # b
+         [[[0.5, 0.5, -0.5, -0.5]],      # c
+          [[0.5, 0.5, 0.5, 0.5]]]],      # d
+        x.dtype)
+    kernel = jnp.tile(base, (1, 1, 1, C))        # (2, 2, 1, 4C)
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C)                   # (B, H/2, W/2, 4C)
+    out = out.reshape(B, H // 2, W // 2, C, 4)
+    return out[..., 0], out[..., 1], out[..., 2], out[..., 3]
 
 
 def haar_idwt2d(ll: jax.Array, lh: jax.Array, hl: jax.Array,

@@ -187,12 +187,16 @@ class CSPLayer(nn.Module):
 def space_to_depth_focus(x: jax.Array) -> jax.Array:
     """(B,H,W,C) -> (B,H/2,W/2,4C) with the reference's channel order
     (top-left, bottom-left, top-right, bottom-right; network_blocks.py:274-289).
+
+    Reshape/transpose lowering, NOT multi-axis strided slices — the
+    latter kernel-fault the axon TPU worker at large batch x channel
+    shapes (see ops/wavelets.py).
     """
-    tl = x[:, ::2, ::2, :]
-    tr = x[:, ::2, 1::2, :]
-    bl = x[:, 1::2, ::2, :]
-    br = x[:, 1::2, 1::2, :]
-    return jnp.concatenate([tl, bl, tr, br], axis=-1)
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 4, 2, 5)        # (B, H/2, W/2, w2, h2, C)
+    # phase order [(h0,w0), (h1,w0), (h0,w1), (h1,w1)] = tl, bl, tr, br
+    return x.reshape(B, H // 2, W // 2, 4 * C)
 
 
 class Focus(nn.Module):

@@ -149,11 +149,13 @@ class PatchMerging(nn.Module):
         B, H, W, C = x.shape
         if H % 2 or W % 2:
             x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
-        x0 = x[:, 0::2, 0::2]
-        x1 = x[:, 1::2, 0::2]
-        x2 = x[:, 0::2, 1::2]
-        x3 = x[:, 1::2, 1::2]
-        x = jnp.concatenate([x0, x1, x2, x3], -1)
+            H, W = x.shape[1], x.shape[2]
+        # reshape/transpose space-to-depth ([x0, x1, x2, x3] =
+        # [(h0,w0), (h1,w0), (h0,w1), (h1,w1)]) — multi-axis strided
+        # slices kernel-fault the axon TPU at large shapes
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(B, H // 2, W // 2,
+                                                  4 * C)
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)

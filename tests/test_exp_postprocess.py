@@ -118,3 +118,21 @@ def test_tubelets_lengths():
     tubes = get_tubelets(frames)
     assert len(tubes) == 3
     assert all(len(t) == 5 for t in tubes)
+
+
+def test_voc_eval_difficult_gts_ignored():
+    from tscd_tpu.data.voc import voc_eval
+    # one normal + one difficult gt; detections on both
+    g = np.array([[10, 10, 60, 60, 0, 0],
+                  [100, 100, 160, 150, 0, 1]], np.float32)
+    # the difficult-object detection OUTRANKS the normal one, so if it
+    # were counted as an FP it would drag AP below 1.0
+    d = np.array([[10, 10, 60, 60, 1, 0.90, 0],
+                  [100, 100, 160, 150, 1, 0.95, 0]], np.float32)
+    r = voc_eval({"img": d}, {"img": g}, num_classes=1)
+    # difficult match ignored (not FP), npos counts only the normal gt
+    assert r["mAP"] == pytest.approx(1.0)
+    # without the difficult gt present, that same det becomes an FP
+    g5 = g[:1, :5]
+    r2 = voc_eval({"img": d}, {"img": g5}, num_classes=1)
+    assert r2["mAP"] < 1.0

@@ -64,6 +64,9 @@ def test_native_matches_numpy():
                                ref.eval["precision"], atol=1e-10)
     np.testing.assert_allclose(fast.eval["recall"],
                                ref.eval["recall"], atol=1e-10)
+    # scores too — ignored dts keep their slots in the native path
+    np.testing.assert_allclose(fast.eval["scores"],
+                               ref.eval["scores"], atol=1e-10)
     # per-image matching identical
     for key, ref_img in ref.evalImgs.items():
         fast_img = fast.evalImgs[key]

@@ -60,10 +60,19 @@ class VOCDetection:
     def __len__(self):
         return len(self.ids)
 
-    def load_anno(self, index: int) -> np.ndarray:
+    def load_anno(self, index: int,
+                  keep_difficult: bool = False) -> np.ndarray:
+        """(N, 5) [x1,y1,x2,y2,cls] (training default drops difficult),
+        or (N, 6) with a trailing difficult flag when keep_difficult —
+        the VOC protocol needs difficult GTs present so matches to them
+        are IGNORED rather than counted as false positives."""
         rootpath, img_id = self.ids[index]
         objs = parse_rec(os.path.join(rootpath, "Annotations",
                                       img_id + ".xml"))
+        if keep_difficult:
+            rows = [[*o["bbox"], self.class_to_ind[o["name"]],
+                     o["difficult"]] for o in objs]
+            return np.asarray(rows, np.float32).reshape(-1, 6)
         rows = [[*o["bbox"], self.class_to_ind[o["name"]]]
                 for o in objs if not o["difficult"]]
         return np.asarray(rows, np.float32).reshape(-1, 5)
@@ -99,16 +108,23 @@ def voc_eval(dets_per_image: Dict[str, np.ndarray],
              use_07_metric: bool = False) -> Dict[str, float]:
     """VOC-protocol per-class AP + mAP.
 
-    dets_per_image: image_id -> (K, 7) rows; gts: image_id -> (N, 5)."""
+    dets_per_image: image_id -> (K, 7) rows; gts: image_id -> (N, 5)
+    [x1,y1,x2,y2,cls] or (N, 6) with a trailing difficult flag —
+    difficult GTs are excluded from npos and matches to them are
+    ignored (neither TP nor FP, reference voc_eval.py:167)."""
     aps = {}
     for c in range(num_classes):
         class_recs = {}
         npos = 0
         for img_id, g in gts_per_image.items():
-            sel = g[g[:, 4] == c][:, :4] if len(g) else np.zeros((0, 4))
-            class_recs[img_id] = {"bbox": sel,
+            g = np.asarray(g, np.float32)
+            rows = g[g[:, 4] == c] if len(g) else np.zeros((0, 6))
+            sel = rows[:, :4]
+            difficult = (rows[:, 5].astype(bool) if rows.shape[1] > 5
+                         else np.zeros(len(rows), bool))
+            class_recs[img_id] = {"bbox": sel, "difficult": difficult,
                                   "det": np.zeros(len(sel), bool)}
-            npos += len(sel)
+            npos += int((~difficult).sum())
         rows = []
         for img_id, d in dets_per_image.items():
             if len(d) == 0:
@@ -141,9 +157,14 @@ def voc_eval(dets_per_image: Dict[str, np.ndarray],
                 overlaps = inters / uni
                 jmax = int(np.argmax(overlaps))
                 ovmax = overlaps[jmax]
-            if ovmax > ovthresh and not R["det"][jmax]:
-                tp[i] = 1.0
-                R["det"][jmax] = True
+            if ovmax > ovthresh:
+                if R["difficult"][jmax]:
+                    pass            # matched a difficult GT: ignored
+                elif not R["det"][jmax]:
+                    tp[i] = 1.0
+                    R["det"][jmax] = True
+                else:
+                    fp[i] = 1.0     # duplicate match
             else:
                 fp[i] = 1.0
         fp = np.cumsum(fp)

@@ -41,8 +41,8 @@ class COCO:
             self.cats[cat["id"]] = cat
 
     def getImgIds(self, imgIds=(), catIds=()):
-        imgIds = list(imgIds) if not isinstance(imgIds, int) else [imgIds]
-        catIds = list(catIds) if not isinstance(catIds, int) else [catIds]
+        imgIds = list(imgIds) if hasattr(imgIds, '__iter__') else [imgIds]
+        catIds = list(catIds) if hasattr(catIds, '__iter__') else [catIds]
         if not imgIds and not catIds:
             return list(self.imgs.keys())
         ids = set(imgIds) if imgIds else set(self.imgs.keys())
@@ -61,8 +61,8 @@ class COCO:
         return [c["id"] for c in cats]
 
     def getAnnIds(self, imgIds=(), catIds=(), areaRng=(), iscrowd=None):
-        imgIds = [imgIds] if isinstance(imgIds, int) else list(imgIds)
-        catIds = [catIds] if isinstance(catIds, int) else list(catIds)
+        imgIds = [imgIds] if not hasattr(imgIds, '__iter__') else list(imgIds)
+        catIds = [catIds] if not hasattr(catIds, '__iter__') else list(catIds)
         if imgIds:
             anns = [a for i in imgIds for a in self.imgToAnns[i]]
         else:
@@ -78,17 +78,17 @@ class COCO:
         return [a["id"] for a in anns]
 
     def loadAnns(self, ids):
-        if isinstance(ids, int):
+        if not hasattr(ids, '__iter__'):
             return [self.anns[ids]]
         return [self.anns[i] for i in ids]
 
     def loadImgs(self, ids):
-        if isinstance(ids, int):
+        if not hasattr(ids, '__iter__'):
             return [self.imgs[ids]]
         return [self.imgs[i] for i in ids]
 
     def loadCats(self, ids):
-        if isinstance(ids, int):
+        if not hasattr(ids, '__iter__'):
             return [self.cats[ids]]
         return [self.cats[i] for i in ids]
 

@@ -17,8 +17,9 @@ from .fast_cocoeval import COCOeval_opt as COCOeval
 
 def per_class_table(per_class: Dict[str, float], headers=("class", "AP"),
                     columns: int = 6) -> str:
-    """Flat multi-column text table (reference per_class_AP_table)."""
-    items = [f"{k:<18}{v * 100:6.2f}" for k, v in per_class.items()]
+    """Flat multi-column text table (reference per_class_AP_table).
+    Values arrive already in percent (per_class_ap returns mean*100)."""
+    items = [f"{k:<18}{v:6.2f}" for k, v in per_class.items()]
     rows = []
     for i in range(0, len(items), columns):
         rows.append(" | ".join(items[i:i + columns]))

@@ -9,11 +9,8 @@ evaluator. Reports AP50-95/AP50, per-class tables, and the same
 frames/sec oracle for BASELINE.md.
 """
 
-import io
 import time
 from typing import Callable, Dict, List, Optional, Sequence
-
-import numpy as np
 
 from .coco_api import COCO
 from .fast_cocoeval import COCOeval_opt as COCOeval
@@ -74,20 +71,29 @@ class VIDEvaluator:
                     forward_time += time.time() - t0
                     yield batch, dets
                 return
+            # timing matches the reference's accounting (model call only,
+            # vid_evaluator_v2.py:260-271): dispatch + materialize
+            # durations, excluding dataloading and COCO-dict conversion
             pending = None
-            t_loop = time.time()
             for batch in self.dataloader:
                 resume = (self._first_frame_idx(batch)
                           != self.first_frame_index)
+                t0 = time.time()
                 dev, state = predict_fn.dispatch(
                     batch["imgs"], batch["time_embedding"], resume, state)
+                forward_time += time.time() - t0
                 if pending is not None:
                     prev_batch, prev_dev = pending
-                    yield prev_batch, predict_fn.materialize(prev_dev)
+                    t0 = time.time()
+                    dets = predict_fn.materialize(prev_dev)
+                    forward_time += time.time() - t0
+                    yield prev_batch, dets
                 pending = (batch, dev)
             if pending is not None:
-                yield pending[0], predict_fn.materialize(pending[1])
-            forward_time += time.time() - t_loop
+                t0 = time.time()
+                dets = predict_fn.materialize(pending[1])
+                forward_time += time.time() - t0
+                yield pending[0], dets
 
         def linked_batches():
             """Buffer each video's windows and apply tubelet-averaged
@@ -131,7 +137,9 @@ class VIDEvaluator:
                 for row in dets:
                     x1, y1, x2, y2, obj, score, cls = row[:7]
                     s = float(obj) * float(score)
-                    if s <= 0:
+                    # confthre filters here; nmsthre is applied inside
+                    # the jitted predict_fn (recorded for reporting)
+                    if s <= 0 or s < self.confthre:
                         continue
                     bb = [float(x1) / scale, float(y1) / scale,
                           float(x2 - x1) / scale, float(y2 - y1) / scale]

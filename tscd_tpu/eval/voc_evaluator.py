@@ -34,6 +34,9 @@ class VOCEvaluator:
             metas = []
             for bi, i in enumerate(idxs):
                 img, res, (h0, w0), img_id = self.dataset.pull_item(i)
+                # difficult GTs must be present (ignored, not FPs)
+                if hasattr(self.dataset, "load_anno"):
+                    res = self.dataset.load_anno(i, keep_difficult=True)
                 padded, r = letterbox(img, self.img_size)
                 imgs[bi] = padded
                 metas.append((img_id, r, res))

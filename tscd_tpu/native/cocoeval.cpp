@@ -118,34 +118,31 @@ void cocoeval_accumulate_cell(
     int64_t T, int64_t N, int64_t npig,
     const double* rec_thrs, int64_t R,
     double* precision, double* scores_out, double* recall) {
+  // full-length rc/pr arrays — ignored detections keep their slots
+  // (zero increments), exactly like pycocotools' cumsum over all N,
+  // so searchsorted indices and the scores output match the python
+  // implementation bit for bit.
   std::vector<double> pr(N), rc(N);
   for (int64_t t = 0; t < T; ++t) {
     const int64_t* m = dtm + t * N;
     const uint8_t* ig = dt_ig + t * N;
     double tp = 0, fp = 0;
-    int64_t nd = 0;
     for (int64_t i = 0; i < N; ++i) {
-      if (ig[i]) continue;
-      if (m[i] > 0) ++tp; else ++fp;
-      rc[nd] = tp / npig;
-      pr[nd] = tp / std::max(tp + fp, 1e-300);
-      ++nd;
+      if (!ig[i]) {
+        if (m[i] > 0) ++tp; else ++fp;
+      }
+      rc[i] = tp / npig;
+      pr[i] = tp / std::max(tp + fp, 2.220446049250313e-16);
     }
-    recall[t] = nd ? rc[nd - 1] : 0.0;
-    for (int64_t i = nd - 2; i >= 0; --i) pr[i] = std::max(pr[i], pr[i + 1]);
-    // non-ignored scores compacted in order
-    std::vector<double> sc(nd);
-    int64_t j = 0;
-    for (int64_t i = 0; i < N; ++i)
-      if (!ig[i]) sc[j++] = dt_scores[i];
+    recall[t] = N ? rc[N - 1] : 0.0;
+    for (int64_t i = N - 2; i >= 0; --i) pr[i] = std::max(pr[i], pr[i + 1]);
     for (int64_t r = 0; r < R; ++r) {
-      // searchsorted left
       const int64_t pi =
-          std::lower_bound(rc.begin(), rc.begin() + nd, rec_thrs[r]) -
+          std::lower_bound(rc.begin(), rc.begin() + N, rec_thrs[r]) -
           rc.begin();
-      if (pi < nd) {
+      if (pi < N) {
         precision[t * R + r] = pr[pi];
-        scores_out[t * R + r] = sc[pi];
+        scores_out[t * R + r] = dt_scores[pi];
       } else {
         precision[t * R + r] = 0.0;
         scores_out[t * R + r] = 0.0;

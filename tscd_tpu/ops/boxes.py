@@ -18,8 +18,8 @@ def box_xyxy_to_cxcywh(b: jax.Array) -> jax.Array:
     return jnp.stack([(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], axis=-1)
 
 
-def pairwise_iou_xyxy(a: jax.Array, b: jax.Array, eps: float = 1e-16) -> jax.Array:
-    """IoU between every pair: a (N,4), b (M,4) xyxy -> (N,M)."""
+def _pairwise_iou_union(a: jax.Array, b: jax.Array):
+    """Shared IoU/union core: a (N,4), b (M,4) xyxy -> ((N,M), (N,M))."""
     tl = jnp.maximum(a[:, None, :2], b[None, :, :2])
     br = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
     wh = jnp.clip(br - tl, 0.0)
@@ -27,6 +27,12 @@ def pairwise_iou_xyxy(a: jax.Array, b: jax.Array, eps: float = 1e-16) -> jax.Arr
     area_a = jnp.clip(a[:, 2] - a[:, 0], 0.0) * jnp.clip(a[:, 3] - a[:, 1], 0.0)
     area_b = jnp.clip(b[:, 2] - b[:, 0], 0.0) * jnp.clip(b[:, 3] - b[:, 1], 0.0)
     union = area_a[:, None] + area_b[None, :] - inter
+    return inter, union
+
+
+def pairwise_iou_xyxy(a: jax.Array, b: jax.Array, eps: float = 1e-16) -> jax.Array:
+    """IoU between every pair: a (N,4), b (M,4) xyxy -> (N,M)."""
+    inter, union = _pairwise_iou_union(a, b)
     return inter / (union + eps)
 
 
@@ -44,19 +50,12 @@ def bboxes_iou(a: jax.Array, b: jax.Array, xyxy: bool = True,
 
 def generalized_box_iou(a: jax.Array, b: jax.Array, eps: float = 1e-16) -> jax.Array:
     """Pairwise GIoU, xyxy input (yolox/utils/box_op.py:124)."""
-    iou = pairwise_iou_xyxy(a, b, eps)
+    inter, union = _pairwise_iou_union(a, b)
+    iou = inter / (union + eps)
     tl = jnp.minimum(a[:, None, :2], b[None, :, :2])
     br = jnp.maximum(a[:, None, 2:], b[None, :, 2:])
     wh = jnp.clip(br - tl, 0.0)
     area_c = wh[..., 0] * wh[..., 1]
-    # recompute union from iou: union = inter/iou — avoid; recompute directly
-    tl_i = jnp.maximum(a[:, None, :2], b[None, :, :2])
-    br_i = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh_i = jnp.clip(br_i - tl_i, 0.0)
-    inter = wh_i[..., 0] * wh_i[..., 1]
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    union = area_a[:, None] + area_b[None, :] - inter
     return iou - (area_c - union) / (area_c + eps)
 
 

@@ -75,6 +75,10 @@ def topk_nms_select(boxes: jax.Array, scores: jax.Array, class_ids: jax.Array,
                     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Select top_k candidates by score, NMS, return out_k survivors.
 
+    Public utility for custom pipelines; the framework's own proposal
+    path is ops/postprocess.select_proposals (obj-ranked pre-NMS per
+    postpro_woclass) — keep their NMS semantics in sync.
+
     Returns (boxes (out_k,4), scores (out_k,), class_ids (out_k,),
     keep_mask (out_k,), src_idx (out_k,)) where src_idx indexes the input
     slots; dead slots have keep_mask False.

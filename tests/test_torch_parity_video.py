@@ -1,0 +1,359 @@
+"""Stage-by-stage golden parity: the full video stack vs the reference
+PyTorch modules (loaded from /root/reference via tests/refpkg stubs).
+
+Covers the five riskiest rewrites above the backbone (VERDICT round 1,
+Missing #1): WaveletsHFBlock, YOLOPAFPN, YOLOXHead dense decode, the MCA
+attention zoo, the CAFM matcher (incl. 2-step streaming state), and
+TaskAligned — all on randomly-initialized reference weights pushed
+through tscd_tpu.utils.convert.torch_to_flax.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+REF = "/root/reference/yolox/models"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    import refpkg
+
+    class Mods:
+        surrounding = refpkg.load("yolox.models.surrounding_extraction")
+        matching = refpkg.load("yolox.models.tscd_matching")
+        post_trans = refpkg.load("yolox.models.post_trans")
+        tscd_head = refpkg.load("yolox.models.tscd_head")
+        pafpn = refpkg.load("yolox.models.yolo_pafpn")
+        yolo_head = refpkg.load("yolox.models.yolo_head")
+
+    return Mods
+
+
+def to_flax(torch_module):
+    from tscd_tpu.utils.convert import torch_to_flax
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in torch_module.state_dict().items()}
+    return torch_to_flax(sd)
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+def nchw(x):  # numpy NHWC -> torch NCHW
+    return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+
+# ---------------------------------------------------------------- wavelets
+
+
+def test_wavelets_hf_block_parity(ref, rng):
+    import jax.numpy as jnp
+    from tscd_tpu.ops.wavelets import WaveletsHFBlock
+
+    C = 8
+    tm = ref.surrounding.WaveletsHFBlock(in_channels=C)
+    tm.eval()
+    x = rng.normal(size=(2, 6, 6, C)).astype(np.float32)
+    with torch.no_grad():
+        want = t2n(tm(nchw(x))).transpose(0, 2, 3, 1)
+
+    fm = WaveletsHFBlock()
+    got = np.asarray(fm.apply(to_flax(tm), jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------- pafpn / yolo head
+
+
+def test_yolopafpn_parity(ref, rng):
+    import jax.numpy as jnp
+    from tscd_tpu.models.pafpn import YOLOPAFPN
+
+    tm = ref.pafpn.YOLOPAFPN(depth=0.33, width=0.25)
+    tm.eval()
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(nchw(x))
+
+    fm = YOLOPAFPN(depth=0.33, width=0.25)
+    got = fm.apply(to_flax(tm), jnp.asarray(x))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   t2n(w), rtol=1e-3, atol=1e-4)
+
+
+def test_yolox_head_decode_parity(ref, rng):
+    """Eval forward: towers -> preds -> grid decode (+sigmoid obj/cls)."""
+    import jax.numpy as jnp
+    from tscd_tpu.models.yolo_head import YOLOXHead
+    from tscd_tpu.ops.decode import decode_outputs
+
+    C = 5
+    tm = ref.yolo_head.YOLOXHead(num_classes=C, width=0.25)
+    tm.eval()
+    tm.decode_in_inference = True
+    feats = [rng.normal(size=(2, hw, hw, ch)).astype(np.float32) * 0.5
+             for hw, ch in [(8, 64), (4, 128), (2, 256)]]
+    with torch.no_grad():
+        want = t2n(tm([nchw(f) for f in feats]))
+
+    fm = YOLOXHead(num_classes=C, width=0.25)
+    out = fm.apply(to_flax(tm), [jnp.asarray(f) for f in feats])
+    dec = decode_outputs(out["outputs"], out["hw"], (8, 16, 32))
+    got = np.concatenate([np.asarray(dec[..., :4]),
+                          np.asarray(jax.nn.sigmoid(dec[..., 4:]))], -1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+import jax  # noqa: E402  (used inside tests after flax imports)
+
+
+# --------------------------------------------------------------- MCA zoo
+
+
+def _mca_inputs(rng, F, P, C):
+    feat_cls = rng.normal(size=(F, P, C)).astype(np.float32)
+    feat_reg = rng.normal(size=(F, P, C)).astype(np.float32)
+    cls_score = rng.uniform(0.2, 1.0, size=(F, P)).astype(np.float32)
+    fg_score = rng.uniform(0.2, 1.0, size=(F, P)).astype(np.float32)
+    return feat_cls, feat_reg, cls_score, fg_score
+
+
+def test_mca_g2l_parity(ref, rng):
+    """MCA_tscd_g2l_reg (post_trans.py:1109) vs MCAg2l: frame-by-frame
+    global-to-local cross-attention with ave round-2 pooling.
+
+    use_mask=True is only covered on the square MSA path below: the
+    reference's score-mask broadcast (post_trans.py:647) requires
+    N_query == N_key and raises RuntimeError on the cross path, so no
+    reference behavior exists to match there."""
+    import jax.numpy as jnp
+    from tscd_tpu.models.aggregation import MCAg2l
+
+    use_mask = False
+    C, H, P, L, G = 16, 4, 4, 2, 3
+    F = L + G
+    feat_cls, feat_reg, cls_score, fg_score = _mca_inputs(rng, F, P, C)
+
+    tm = ref.post_trans.MCA_tscd_g2l_reg(dim=C, out_dim=4 * C, num_heads=H,
+                                         reconf=True)
+    tm.eval()
+    with torch.no_grad():
+        want_cls, want_obj = tm(
+            torch.from_numpy(feat_cls.reshape(1, -1, C)),
+            torch.from_numpy(feat_reg.reshape(1, -1, C)),
+            torch.from_numpy(cls_score.reshape(-1)),
+            torch.from_numpy(fg_score.reshape(-1)),
+            sim_thresh=0.75, ave=True, use_mask=use_mask,
+            lframe=L, gframe=G, afternum=P,
+            preds_per_frame=[P] * F)
+
+    fm = MCAg2l(out_dim=4 * C, num_heads=H, reconf=True)
+    got_cls, got_obj = fm.apply(
+        to_flax(tm), jnp.asarray(feat_cls), jnp.asarray(feat_reg),
+        jnp.asarray(cls_score), jnp.asarray(fg_score),
+        jnp.ones((F, P), bool), L, sim_thresh=0.75, ave=True,
+        use_mask=use_mask)
+
+    np.testing.assert_allclose(np.asarray(got_cls).reshape(L * P, -1),
+                               t2n(want_cls), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_obj).reshape(L * P, -1),
+                               t2n(want_obj), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_mask", [False, True])
+def test_msa_yolov_parity(ref, rng, use_mask):
+    """MSA_yolov (post_trans.py:1227) vs MSAYolov: full self-attention +
+    linear1-projected round-2 pooling (+ the score-window mask)."""
+    import jax.numpy as jnp
+    from tscd_tpu.models.aggregation import MSAYolov
+
+    C, H, N = 16, 4, 12
+    feat_cls, feat_reg, cls_score, fg_score = _mca_inputs(rng, 1, N, C)
+
+    tm = ref.post_trans.MSA_yolov(dim=C, out_dim=4 * C, num_heads=H,
+                                  reconf=True)
+    tm.eval()
+    with torch.no_grad():
+        want_cls, want_obj = tm(
+            torch.from_numpy(feat_cls), torch.from_numpy(feat_reg),
+            torch.from_numpy(cls_score[0]), torch.from_numpy(fg_score[0]),
+            ave=True, sim_thresh=0.75, use_mask=use_mask)
+
+    fm = MSAYolov(out_dim=4 * C, num_heads=H, reconf=True)
+    got_cls, got_obj = fm.apply(
+        to_flax(tm), jnp.asarray(feat_cls[0]), jnp.asarray(feat_reg[0]),
+        jnp.asarray(cls_score[0]), jnp.asarray(fg_score[0]),
+        jnp.ones(N, bool), sim_thresh=0.75, ave=True, use_mask=use_mask)
+
+    np.testing.assert_allclose(np.asarray(got_cls), t2n(want_cls).reshape(N, -1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_obj), t2n(want_obj).reshape(N, -1),
+                               rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------- CAFM matcher
+
+
+def _matcher_pair(ref, nl, C=16, Cr=32, H=4):
+    """Build (torch matcher, flax RegMatcher, converted variables)."""
+    from tscd_tpu.models.matching import RegMatcher
+
+    tm = ref.matching.AwarePositionRegMatcher(
+        hidden_channel=C, feedforward_channel=C, num_head=H,
+        decoder_layer_num=nl)
+    tm.eval()
+    fm = RegMatcher(num_heads=H, num_layers=nl)
+    return tm, fm, to_flax(tm)
+
+
+def _matcher_np_inputs(rng, L, P, C, Cr):
+    return dict(
+        feats=rng.normal(size=(L, P, C)).astype(np.float32),
+        reg_e=rng.normal(size=(L, P, Cr)).astype(np.float32),
+        cls_e=rng.normal(size=(L, P, Cr)).astype(np.float32),
+        edges=rng.normal(size=(L, P, C)).astype(np.float32),
+        time=rng.normal(size=(L, 256)).astype(np.float32),
+    )
+
+
+def _run_ref_matcher(tm, x, preds_per_frame, resume):
+    """Reference forward on ragged inputs; returns final-layer output."""
+    rows = []
+    for key in ["feats", "reg_e", "cls_e", "edges"]:
+        rows.append(np.concatenate(
+            [x[key][i, :p] for i, p in enumerate(preds_per_frame)], 0))
+    with torch.no_grad():
+        out = tm(torch.from_numpy(rows[0]), torch.from_numpy(rows[1]),
+                 torch.from_numpy(rows[2]), torch.from_numpy(rows[3]),
+                 list(preds_per_frame), torch.from_numpy(x["time"]),
+                 resume=resume)
+    return t2n(out[-1])  # (sum(preds), C)
+
+
+@pytest.mark.parametrize("nl", [1, 2])
+def test_reg_matcher_parity(ref, rng, nl):
+    """AwarePositionRegMatcher (tscd_matching.py:639) vs RegMatcher:
+    3 local frames, equal counts, incl. multi-layer chaining."""
+    import jax.numpy as jnp
+    from tscd_tpu.models.matching import init_matcher_state
+
+    L, P, C, Cr = 3, 5, 16, 32
+    tm, fm, variables = _matcher_pair(ref, nl, C, Cr)
+    x = _matcher_np_inputs(rng, L, P, C, Cr)
+    want = _run_ref_matcher(tm, x, [P] * L, resume=False)
+
+    state = init_matcher_state(P, C, Cr)
+    got, _ = fm.apply(variables, jnp.asarray(x["feats"]),
+                      jnp.asarray(x["reg_e"]), jnp.asarray(x["cls_e"]),
+                      jnp.asarray(x["edges"]), jnp.asarray(x["time"]),
+                      jnp.ones((L, P), bool), state)
+    np.testing.assert_allclose(np.asarray(got).reshape(L * P, C), want,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_reg_matcher_streaming_state_parity(ref, rng):
+    """Two successive calls with resume=True must match the reference's
+    last_* module state across the call boundary (tscd_head eval path,
+    lframe=1 per step)."""
+    import jax.numpy as jnp
+    from tscd_tpu.models.matching import init_matcher_state
+
+    P, C, Cr = 5, 16, 32
+    tm, fm, variables = _matcher_pair(ref, 1, C, Cr)
+    steps = [_matcher_np_inputs(rng, 1, P, C, Cr) for _ in range(3)]
+
+    state = init_matcher_state(P, C, Cr)
+    for i, x in enumerate(steps):
+        want = _run_ref_matcher(tm, x, [P], resume=(i > 0))
+        got, state = fm.apply(
+            variables, jnp.asarray(x["feats"]), jnp.asarray(x["reg_e"]),
+            jnp.asarray(x["cls_e"]), jnp.asarray(x["edges"]),
+            jnp.asarray(x["time"]), jnp.ones((1, P), bool), state)
+        np.testing.assert_allclose(np.asarray(got).reshape(P, C), want,
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"stream step {i}")
+
+
+@pytest.mark.parametrize("counts", [(5, 3), (3, 5), (4, 2, 5)])
+def test_reg_matcher_unequal_counts_parity(ref, rng, counts):
+    """The reference's ragged pad/truncate branches
+    (tscd_matching.py:816-851) vs the fixed-P masked-validity rewrite:
+    outputs at valid slots must agree."""
+    import jax.numpy as jnp
+    from tscd_tpu.models.matching import init_matcher_state
+
+    P, C, Cr = max(counts), 16, 32
+    L = len(counts)
+    tm, fm, variables = _matcher_pair(ref, 1, C, Cr)
+    x = _matcher_np_inputs(rng, L, P, C, Cr)
+    want = _run_ref_matcher(tm, x, list(counts), resume=False)
+
+    valid = np.zeros((L, P), bool)
+    for i, p in enumerate(counts):
+        valid[i, :p] = True
+    state = init_matcher_state(P, C, Cr)
+    got, _ = fm.apply(variables, jnp.asarray(x["feats"]),
+                      jnp.asarray(x["reg_e"]), jnp.asarray(x["cls_e"]),
+                      jnp.asarray(x["edges"]), jnp.asarray(x["time"]),
+                      jnp.asarray(valid), state)
+    got = np.asarray(got)
+    start = 0
+    for i, p in enumerate(counts):
+        np.testing.assert_allclose(got[i, :p], want[start:start + p],
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"frame {i} ({p} valid)")
+        start += p
+
+
+def test_task_aligned_parity(ref, rng):
+    """TaskAligned (tscd_matching.py:1076) vs the repo TaskAligned."""
+    import jax.numpy as jnp
+    from tscd_tpu.models.matching import TaskAligned
+
+    L, P, C, H = 2, 4, 32, 4
+    tm = ref.matching.TaskAligned(hidden_channel=C, num_head=H,
+                                  decoder_layer_num=1)
+    tm.eval()
+    feat_reg = rng.normal(size=(L, P, C)).astype(np.float32)
+    feat_obj = rng.normal(size=(L, P, C)).astype(np.float32)
+    with torch.no_grad():
+        want = t2n(tm(torch.from_numpy(feat_reg.reshape(-1, C)),
+                      torch.from_numpy(feat_obj.reshape(-1, C)),
+                      [P] * L))
+
+    fm = TaskAligned(num_heads=H, num_layers=1)
+    got = fm.apply(to_flax(tm), jnp.asarray(feat_reg),
+                   jnp.asarray(feat_obj), jnp.ones((L, P), bool))
+    np.testing.assert_allclose(np.asarray(got).reshape(L * P, C), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_haar_dwt_band_signs_match_reference(ref, rng):
+    """The four DWT bands themselves (order AND sign) must match the
+    reference's pywt-derived conv filters, because filter1's converted
+    weights see the raw HF bands."""
+    import jax.numpy as jnp
+    from tscd_tpu.ops.wavelets import haar_dwt2d
+
+    C = 4
+    dwt = ref.surrounding.DWT_2D(wave="haar")
+    x = rng.normal(size=(1, 4, 4, C)).astype(np.float32)
+    with torch.no_grad():
+        want = t2n(dwt(nchw(x)))  # (1, 4C, 2, 2) [ll, lh, hl, hh]
+    ll, lh, hl, hh = haar_dwt2d(jnp.asarray(x))
+    for i, band in enumerate([ll, lh, hl, hh]):
+        np.testing.assert_allclose(
+            np.asarray(band).transpose(0, 3, 1, 2),
+            want[:, i * C:(i + 1) * C], rtol=1e-5, atol=1e-6,
+            err_msg=f"band {i} ({'ll lh hl hh'.split()[i]})")

@@ -120,11 +120,14 @@ class DualBranchAttention(nn.Module):
             if cls_score is not None:
                 logits_cls = logits_cls * cls_score.astype(f32)[None, None, :]
             if use_mask and cls_score is not None and fg_score is not None:
+                # score-window mask multiplies the CLS logits only; the
+                # reg branch carries no score guidance at all (removed
+                # upstream 2023.12.5, post_trans.py:778). fg_mask still
+                # participates in the round-2 sim_mask (:818).
                 cs, fs = cls_score.astype(f32), fg_score.astype(f32)
                 cls_mask = (cs[None, :] > cs[:n_query, None] - 0.1).astype(f32)
                 fg_mask = (fs[None, :] > fs[:n_query, None] - 0.1).astype(f32)
                 logits_cls = logits_cls * cls_mask[None]
-                logits_reg = logits_reg * fg_mask[None]
                 cls_mask = cls_mask * fg_mask
 
             kmask = jnp.where(key_valid[None, None, :], 0.0, NEG)

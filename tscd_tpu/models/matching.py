@@ -215,16 +215,24 @@ class RegMatcher(nn.Module):
 
             m_feat = feat[perm]       # current tokens in matched order
             m_edge = edge[perm]
-            # first frame: tgt/query_edge/query_pos come from the current
-            # frame itself (:790-796); otherwise from the bank (:856-862)
-            tgt = jnp.where(first, m_feat, st.out)
-            prev_edge = jnp.where(first, m_edge, st.edge)
+            # per-row freshness: the first frame self-references every
+            # token (:790-796); on streaming frames a current proposal
+            # assigned to an EMPTY bank slot (more proposals than the
+            # bank holds) is self-referenced too — the reference appends
+            # unmatched current features to the memory (:816-837) —
+            # while live rows query the bank (:856-862)
+            fresh = first | ~st.valid                       # (P,)
+            tgt0 = jnp.where(fresh[:, None], m_feat, st.out)
+            prev_edge = jnp.where(fresh[:, None], m_edge, st.edge)
             prev_time = jnp.where(first, t, st.time)
 
             out = m_feat
             for li, layer in enumerate(layers):
                 identify = out
-                layer_tgt = tgt if li == 0 else out
+                # layers >0: the first-frame branch chains the previous
+                # layer's output (:799-806); the streaming branch keeps
+                # querying the bank (:865-871)
+                layer_tgt = tgt0 if li == 0 else jnp.where(first, out, tgt0)
                 out = layer(identify, layer_tgt, feat,
                             pos=t[None, :], query_pos=prev_time[None, :],
                             edge=edge, query_edge=prev_edge, key_valid=vl)

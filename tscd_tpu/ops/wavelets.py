@@ -10,13 +10,18 @@ TPU redesign: a Haar DWT is a 2x2 space-to-depth followed by a fixed
 matmul, which XLA fuses; no conv needed, no pywt dependency. NHWC.
 
   LL = (a + b + c + d) / 2     (a=TL, b=TR, c=BL, d=BR of each 2x2 block)
-  LH = (-a - b + c + d) / 2    (vertical detail)
-  HL = (-a + b - c + d) / 2    (horizontal detail)
+  LH = (a + b - c - d) / 2     (vertical detail)
+  HL = (a - b + c - d) / 2     (horizontal detail)
   HH = (a - b - c + d) / 2
 
-which equals the reference's conv-based DWT with filters
-ll=[[.5,.5],[.5,.5]], lh=[[-.5,-.5],[.5,.5]], hl=[[-.5,.5],[-.5,.5]],
-hh=[[.5,-.5],[-.5,.5]]. The inverse is the transpose (orthonormal).
+which equals the reference's conv-based DWT with pywt haar filters
+(dec_lo=[s,s], dec_hi=[-s,s] reversed before the outer products,
+surrounding_extraction.py:111-122): ll=[[.5,.5],[.5,.5]],
+lh=[[.5,.5],[-.5,-.5]], hl=[[.5,-.5],[.5,-.5]], hh=[[.5,-.5],[-.5,.5]].
+Band SIGNS matter, not just the subspaces: filter1's converted torch
+weights are applied to the raw HF bands before a ReLU
+(tests/test_torch_parity_video.py locks this down). The inverse is the
+transpose (orthonormal).
 """
 
 from typing import Any, Tuple
@@ -39,10 +44,10 @@ def haar_dwt2d(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array
     # base (2, 2, 1, 4): filter taps for [ll, lh, hl, hh] at positions
     # a=TL, b=TR, c=BL, d=BR
     base = jnp.asarray(
-        [[[[0.5, -0.5, -0.5, 0.5]],      # a
-          [[0.5, -0.5, 0.5, -0.5]]],     # b
-         [[[0.5, 0.5, -0.5, -0.5]],      # c
-          [[0.5, 0.5, 0.5, 0.5]]]],      # d
+        [[[[0.5, 0.5, 0.5, 0.5]],        # a
+          [[0.5, 0.5, -0.5, -0.5]]],     # b
+         [[[0.5, -0.5, 0.5, -0.5]],      # c
+          [[0.5, -0.5, -0.5, 0.5]]]],    # d
         x.dtype)
     kernel = jnp.tile(base, (1, 1, 1, C))        # (2, 2, 1, 4C)
     out = jax.lax.conv_general_dilated(
@@ -56,10 +61,10 @@ def haar_dwt2d(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array
 def haar_idwt2d(ll: jax.Array, lh: jax.Array, hl: jax.Array,
                 hh: jax.Array) -> jax.Array:
     """Inverse of haar_dwt2d: 4 bands (B, h, w, C) -> (B, 2h, 2w, C)."""
-    a = (ll - lh - hl + hh) * 0.5
-    b = (ll - lh + hl - hh) * 0.5
-    c = (ll + lh - hl - hh) * 0.5
-    d = (ll + lh + hl + hh) * 0.5
+    a = (ll + lh + hl + hh) * 0.5
+    b = (ll + lh - hl - hh) * 0.5
+    c = (ll - lh + hl - hh) * 0.5
+    d = (ll - lh - hl + hh) * 0.5
     bsz, h, w, ch = ll.shape
     out = jnp.stack([jnp.stack([a, b], axis=3),
                      jnp.stack([c, d], axis=3)], axis=2)

@@ -82,6 +82,62 @@ def _translate_head(parts):
     return out
 
 
+# reference modules with no counterpart in the rebuild: the matcher's
+# self-attention/FFN layers are constructed but never called in its
+# forward (tscd_matching.py:761-888 uses only the aware-cross layers),
+# and edge_feature_embedding only fires when edge dim != hidden dim
+# (:734-735), never true for WaveletsHFBlock outputs.
+_DROP_SEGMENTS = (
+    "transformer_self_attention_layers",
+    "transformer_ffn_layers",
+    "edge_feature_embedding",
+)
+
+_QKV_NAMES = ("q_cls_local", "kv_cls", "q_reg_local", "kv_reg",
+              "qkv_cls", "qkv_reg")
+
+
+def _translate_video(parts):
+    """Translate TSCD video-stack segment names (aggregation + matcher +
+    task-aligned; reference tscd_matching.py / post_trans.py)."""
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "mca" and i + 1 < len(parts) and parts[i + 1] in _QKV_NAMES:
+            # Attention_mca_g2l's projections live on the repo's
+            # DualBranchAttention child named 'attn'
+            out.extend(["mca", "attn"])
+            i += 1
+        elif p == "transformer_aware_cross_attention_layers":
+            out.append(f"layer_{parts[i + 1]}")
+            i += 2
+        elif p == "transformer_cross_attention_layers":
+            # TaskAligned: layer j -> attn_j (+ norm_j handled below)
+            j = parts[i + 1]
+            rest = parts[i + 2:]
+            if rest and rest[0] == "multihead_attn":
+                out.append(f"attn_{j}")
+                i += 3
+            elif rest and rest[0] == "norm":
+                out.append(f"norm_{j}")
+                i += 3
+            else:
+                out.append(f"layer_{j}")
+                i += 2
+        elif p == "multihead_attn" or p == "self_attn":
+            out.append("attn")
+            i += 1
+        elif p == "fc" and i + 1 < len(parts) and parts[i + 1] in ("0", "2"):
+            # SEModule Sequential(Linear, ReLU, Linear) -> fc1/fc2
+            out.append("fc1" if parts[i + 1] == "0" else "fc2")
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return out
+
+
 def torch_to_flax(state_dict: Dict[str, np.ndarray]
                   ) -> Dict[str, Dict]:
     """torch state_dict (tensor or ndarray values) ->
@@ -93,10 +149,21 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray]
         parts = name.split(".")
         if parts[-1] == "num_batches_tracked":
             continue
+        if any(seg in parts for seg in _DROP_SEGMENTS):
+            continue
         leaf = parts[-1]
         parts = parts[:-1]
         parts = _translate_backbone(parts)
         parts = _translate_head(parts)
+        parts = _translate_video(parts)
+
+        # PositionMHAttention.position_embedding is a 1x1 Conv2d over the
+        # 64-dim relative-geometry embedding (tscd_matching.py:27); the
+        # rebuild applies it as a Dense on the last axis
+        if (leaf == "weight" and arr.ndim == 4 and parts
+                and parts[-1] == "position_embedding"):
+            params[tuple(parts) + ("kernel",)] = arr[:, :, 0, 0].T
+            continue
 
         is_bn = parts and parts[-1] == "bn"
         if is_bn:

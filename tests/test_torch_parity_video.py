@@ -339,6 +339,175 @@ def test_task_aligned_parity(ref, rng):
                                rtol=1e-4, atol=1e-5)
 
 
+# ------------------------------------------------------ full TSCD head
+
+
+def _ref_tscd_head(ref, C, P, width=0.125, heads=4):
+    kwargs = dict(ota_mode=True, agg_type="mca", reconf=True,
+                  decouple_reg=True, vid_cls=True, vid_reg=True,
+                  use_pre_nms=False, minimal_limit=P, maximal_limit=P,
+                  cat_ota_fg=False)
+    tm = ref.tscd_head.TSCDHead(num_classes=C, width=width, heads=heads,
+                                defualt_p=P, **kwargs)
+    tm.eval()
+    return tm
+
+
+def _repo_tscd_head(C, P, width=0.125, heads=4):
+    from tscd_tpu.models.tscd_head import TSCDHead
+    return TSCDHead(num_classes=C, width=width, heads=heads,
+                    num_proposals=P, use_pre_nms=False, reconf=True,
+                    decouple_reg=True, vid_cls=True, vid_reg=True,
+                    agg_type="mca", decoder_layer_num=1, test_conf=0.001)
+
+
+def _capture_widx(tm, cap):
+    """Wrap postprocess_widx / decode_reg_preds5 to record the anchor
+    indices of the selected proposals (per frame, reference order) and
+    the decoded refined boxes."""
+    orig_widx = tm.postprocess_widx
+    orig_dec = tm.decode_reg_preds5
+
+    def widx(*a, **k):
+        out = orig_widx(*a, **k)
+        cap["widx"] = [None if ix is None else t2n(ix) for ix in out[1]]
+        return out
+
+    def dec(*a, **k):
+        out = orig_dec(*a, **k)
+        cap["refined_boxes"] = t2n(out)
+        return out
+
+    tm.postprocess_widx = widx
+    tm.decode_reg_preds5 = dec
+
+
+def _run_heads(ref, rng, tm, fm, variables, F, L, state=None, resume=False,
+               cap=None):
+    import jax.numpy as jnp
+    feats = [rng.normal(size=(F, hw, hw, ch)).astype(np.float32)
+             for hw, ch in [(8, 32), (4, 64), (2, 128)]]
+    time_emb = rng.normal(size=(F, 256)).astype(np.float32)
+    with torch.no_grad():
+        result, result_ori = tm(
+            [nchw(f) for f in feats], labels=None,
+            imgs=torch.zeros(F, 3, 64, 64),
+            time_embedding=torch.from_numpy(time_emb),
+            nms_thresh=0.5, lframe=L, gframe=F - L, resume=resume)
+    out = fm.apply(variables, [jnp.asarray(f) for f in feats],
+                   jnp.asarray(time_emb), L, F - L, matcher_state=state)
+    return out, result, result_ori
+
+
+def _frame0_align(out, cap, P):
+    """repo row i (score order) -> reference row (anchor-index order)."""
+    repo_idx = np.asarray(out["proposals"].idx[0])
+    ref_idx = cap["widx"][0]
+    assert sorted(repo_idx.tolist()) == sorted(ref_idx.tolist()), \
+        f"proposal sets differ: {sorted(repo_idx.tolist())} vs " \
+        f"{sorted(ref_idx.tolist())}"
+    pos = {int(a): i for i, a in enumerate(ref_idx)}
+    return np.array([pos[int(a)] for a in repo_idx])
+
+
+def test_tscd_head_eval_forward_parity(ref, rng):
+    """Full eval forward: towers -> decode -> proposal select -> MCA ->
+    matcher -> TaskAligned -> refined preds -> decoded refined boxes ->
+    final NMS (tscd_head.py:303-733), on converted random weights.
+
+    The reference keeps proposals in anchor-index order while the
+    rebuild keeps score order; rows are aligned via the selected anchor
+    indices. With minimal_limit=maximal_limit=P the reference's
+    selection is exactly top-P by obj*cls — the same set as the fixed-P
+    slots."""
+    from tscd_tpu.models.tscd import tscd_eval_postprocess
+
+    C, P, W = 5, 6, 0.125
+    F, L = 4, 1
+    tm = _ref_tscd_head(ref, C, P, W)
+    fm = _repo_tscd_head(C, P, W)
+    variables = to_flax(tm)
+
+    cap = {}
+    _capture_widx(tm, cap)
+    tm.cls_pred.register_forward_hook(
+        lambda m, i, o: cap.__setitem__("cls", t2n(o)))
+    tm.matcher_obj_pred.register_forward_hook(
+        lambda m, i, o: cap.__setitem__("obj", t2n(o)))
+    tm.matcher_reg_pred.register_forward_hook(
+        lambda m, i, o: cap.__setitem__("reg", t2n(o)))
+
+    out, result, result_ori = _run_heads(ref, rng, tm, fm, variables, F, L,
+                                         cap=cap)
+    props = out["proposals"]
+    assert bool(np.asarray(props.valid).all())
+    align = _frame0_align(out, cap, P)
+
+    # ---- still-detector boxes
+    # reference pred_result was consumed by postprocess in place; check
+    # against the decode input instead: refined boxes below lock both.
+    # ---- refined heads (pre-postprocess), aligned to repo order
+    np.testing.assert_allclose(
+        np.asarray(out["refined_cls_logits"][0]), cap["cls"][align],
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["matcher_obj_logits"][0]), cap["obj"][align, 0],
+        rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["matcher_reg_offsets"][0]), cap["reg"][align],
+        rtol=1e-3, atol=1e-4)
+    # ---- decode_reg_preds5 refined boxes
+    np.testing.assert_allclose(
+        np.asarray(out["refined_boxes"][0]),
+        cap["refined_boxes"][align], rtol=1e-3, atol=1e-2)
+
+    # ---- final postprocess: compare surviving (box, score, class) sets
+    refined, original = tscd_eval_postprocess(out, lframe=L, num_classes=C,
+                                              nms_thresh=0.5)
+    for got_det, want in [(refined, result[0]), (original, result_ori[0])]:
+        want = t2n(want)
+        k = int(np.asarray(got_det.mask[0]).sum())
+        got_rows = np.concatenate(
+            [np.asarray(got_det.boxes[0][:k]),
+             np.asarray(got_det.obj[0][:k] * got_det.score[0][:k])[:, None],
+             np.asarray(got_det.cls_id[0][:k]).astype(np.float32)[:, None]],
+            -1)
+        want_rows = np.concatenate(
+            [want[:, :4], (want[:, 4] * want[:, 5])[:, None],
+             want[:, 6:7]], -1)
+        assert got_rows.shape[0] == want_rows.shape[0], \
+            f"kept {got_rows.shape[0]} vs reference {want_rows.shape[0]}"
+        order_g = np.lexsort(got_rows.T)
+        order_w = np.lexsort(want_rows.T)
+        np.testing.assert_allclose(got_rows[order_g], want_rows[order_w],
+                                   rtol=1e-3, atol=1e-2)
+
+
+def test_tscd_head_streaming_parity(ref, rng):
+    """Two eval steps with resume=True: the explicit MatcherState carry
+    must reproduce the reference's module-side last_* state."""
+    C, P, W = 5, 6, 0.125
+    F, L = 3, 1
+    tm = _ref_tscd_head(ref, C, P, W)
+    fm = _repo_tscd_head(C, P, W)
+    variables = to_flax(tm)
+
+    cap = {}
+    _capture_widx(tm, cap)
+    tm.matcher_reg_pred.register_forward_hook(
+        lambda m, i, o: cap.__setitem__("reg", t2n(o)))
+
+    state = None
+    for step in range(2):
+        out, _, _ = _run_heads(ref, rng, tm, fm, variables, F, L,
+                               state=state, resume=(step > 0), cap=cap)
+        state = out["matcher_state"]
+        align = _frame0_align(out, cap, P)
+        np.testing.assert_allclose(
+            np.asarray(out["matcher_reg_offsets"][0]), cap["reg"][align],
+            rtol=1e-3, atol=1e-4, err_msg=f"step {step}")
+
+
 def test_haar_dwt_band_signs_match_reference(ref, rng):
     """The four DWT bands themselves (order AND sign) must match the
     reference's pywt-derived conv filters, because filter1's converted

@@ -103,7 +103,9 @@ def test_tscd_forward_shapes(tscd_setup):
     assert np.isfinite(np.asarray(out["refined_boxes"])).all()
     refined, original = tscd_eval_postprocess(out, L, C, out_k=10)
     assert refined.boxes.shape == (L, 10, 4)
-    assert original.mask.shape == (L, 10)
+    # original keeps best-class rows only -> at most P slots
+    # (post_process.py:69-81; parity-tested in test_torch_parity_video)
+    assert original.mask.shape == (L, min(10, P))
 
 
 def test_tscd_loss_and_grads(tscd_setup):

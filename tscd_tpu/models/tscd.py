@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.postprocess import Detections, postprocess_refined
+from ..ops.postprocess import (Detections, postprocess_best_class,
+                               postprocess_refined)
 from .matching import MatcherState
 from .pafpn import YOLOPAFPN
 from .tscd_head import TSCDHead
@@ -82,6 +83,14 @@ def tscd_eval_postprocess(head_out, lframe: int, num_classes: int,
 
     refined = jax.vmap(one)(boxes_ref, obj_ref, cls_scores_ref,
                             props.valid[:lframe])
-    original = jax.vmap(one)(props.boxes[:lframe], props.obj[:lframe],
-                             props.cls_scores[:lframe], props.valid[:lframe])
+
+    # the original (still-detector) branch keeps each proposal's best
+    # class only — no per-class expansion (post_process.py:69-81)
+    def one_ori(boxes, obj, cls_conf, cls_id, valid):
+        return postprocess_best_class(boxes, obj, cls_conf, cls_id, valid,
+                                      conf_thre, nms_thresh, out_k)
+
+    original = jax.vmap(one_ori)(
+        props.boxes[:lframe], props.obj[:lframe], props.cls_conf[:lframe],
+        props.cls_id[:lframe], props.valid[:lframe])
     return refined, original

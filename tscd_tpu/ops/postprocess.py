@@ -96,6 +96,25 @@ def postprocess_refined(boxes: jax.Array, obj: jax.Array,
                       pair_cls[pick], mask)
 
 
+def postprocess_best_class(boxes: jax.Array, obj: jax.Array,
+                           cls_conf: jax.Array, cls_id: jax.Array,
+                           valid: jax.Array, conf_thre: float = 0.001,
+                           nms_thre: float = 0.5,
+                           out_k: int = 100) -> Detections:
+    """Per-frame postprocess keeping only each proposal's best class —
+    the reference's `result_ori` branch (post_process.py:69-81): no
+    per-class expansion, conf gate on obj*cls, class-aware NMS."""
+    P = boxes.shape[0]
+    key = obj * cls_conf
+    ok = valid & (key >= conf_thre)
+    keep = batched_class_aware_nms(boxes, key, cls_id, ok, nms_thre)
+    surv = jnp.where(keep, key, -jnp.inf)
+    out_scores, pick = jax.lax.top_k(surv, min(out_k, P))
+    mask = out_scores > -jnp.inf
+    return Detections(boxes[pick], obj[pick], cls_conf[pick],
+                      cls_id[pick], mask)
+
+
 def postprocess_dense(decoded: jax.Array, num_classes: int,
                       conf_thre: float = 0.7, nms_thre: float = 0.45,
                       out_k: int = 100) -> Detections:

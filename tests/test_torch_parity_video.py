@@ -202,6 +202,79 @@ def test_msa_yolov_parity(ref, rng, use_mask):
                                rtol=1e-4, atol=1e-5)
 
 
+# ----------------------------------------------------- LocalAggregation
+
+
+@pytest.mark.parametrize("opts", [
+    dict(),                                             # v_plus defaults
+    dict(reconf=True),
+    dict(reconf=True, iou_base=True, iou_window=0),
+    dict(reconf=True, iou_base=True, iou_window=1),
+    dict(loc_conf=True),
+    dict(pure_pos_emb=True),
+    dict(use_time_emd=True),
+    dict(use_ffn=False),
+])
+def test_local_aggregation_parity(ref, rng, opts):
+    """LocalAggregation/SelfAttentionLocal (post_trans.py:47,972) vs the
+    rebuild, across the exp option matrix incl. iou_window."""
+    import jax.numpy as jnp
+    from tscd_tpu.models.yolov_heads import LocalAggregation
+
+    C, H, L, P = 16, 4, 3, 4
+    N = L * P
+    blocks = 2
+    tkw = dict(use_ffn=opts.get("use_ffn", True),
+               use_time_emd=opts.get("use_time_emd", False),
+               use_loc_emd=opts.get("use_loc_emb", True),
+               loc_fuse_type="add", use_qkv=True,
+               pure_pos_emb=opts.get("pure_pos_emb", False),
+               loc_conf=opts.get("loc_conf", False),
+               iou_base=opts.get("iou_base", False),
+               iou_window=opts.get("iou_window", 0),
+               reconf=opts.get("reconf", False))
+    tm = ref.post_trans.LocalAggregation(dim=C, heads=H, blocks=blocks,
+                                         **tkw)
+    tm.eval()
+
+    x_cls = rng.normal(size=(N, C)).astype(np.float32)
+    x_reg = rng.normal(size=(N, C)).astype(np.float32)
+    # boxes: non-degenerate, some overlapping (for iou_base)
+    cxy = rng.uniform(20, 500, size=(N, 2)).astype(np.float32)
+    cxy[P:2 * P] = cxy[:P] + 5.0  # make cross-frame overlaps exist
+    wh = rng.uniform(20, 80, size=(N, 2)).astype(np.float32)
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+    cls_score = rng.uniform(0.0, 1.0, size=(N,)).astype(np.float32)
+    fg_score = rng.uniform(0.0, 1.0, size=(N,)).astype(np.float32)
+
+    with torch.no_grad():
+        want_cls, want_reg = tm(
+            torch.from_numpy(x_cls[None]), torch.from_numpy(x_reg[None]),
+            torch.from_numpy(boxes.reshape(L, P, 4)),
+            lframe=L, gframe=0, afternum=P, width=576, height=576,
+            cls_score=torch.from_numpy(cls_score),
+            fg_score=torch.from_numpy(fg_score))
+
+    fm = LocalAggregation(num_heads=H, blocks=blocks,
+                          reconf=tkw["reconf"], use_ffn=tkw["use_ffn"],
+                          use_time_emd=tkw["use_time_emd"],
+                          use_loc_emb=tkw["use_loc_emd"],
+                          loc_fuse_type="add",
+                          pure_pos_emb=tkw["pure_pos_emb"],
+                          loc_conf=tkw["loc_conf"],
+                          iou_base=tkw["iou_base"],
+                          iou_window=tkw["iou_window"])
+    got_cls, got_reg = fm.apply(
+        to_flax(tm), jnp.asarray(x_cls), jnp.asarray(x_reg),
+        jnp.asarray(boxes), jnp.asarray(cls_score), jnp.asarray(fg_score),
+        jnp.ones(N, bool), L, P, 576, 576)
+
+    np.testing.assert_allclose(np.asarray(got_cls), t2n(want_cls)[0],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_reg), t2n(want_reg)[0],
+                               rtol=1e-4, atol=1e-4)
+
+
 # ---------------------------------------------------------- CAFM matcher
 
 

@@ -103,17 +103,18 @@ def test_bank_push_ring_wraps():
 
 
 def test_local_aggregation_shapes():
+    # features stay at C dims (post_trans.py:972; parity-tested in
+    # test_torch_parity_video.test_local_aggregation_parity)
     rng = np.random.default_rng(0)
-    N, Ch = 12, 16
+    N, Ch, L, P = 12, 16, 3, 4
     m = LocalAggregation(num_heads=2, reconf=True)
     fc = jnp.asarray(rng.normal(size=(N, Ch)), jnp.float32)
     fr = jnp.asarray(rng.normal(size=(N, Ch)), jnp.float32)
     boxes = jnp.asarray(rng.uniform(10, 50, (N, 4)), jnp.float32)
     boxes = boxes.at[:, 2:].add(50)
-    te = jnp.asarray(get_timing_signal_1d(np.arange(N) // 4, 256))
     v = m.init(jax.random.PRNGKey(0), fc, fr, boxes,
-               jnp.ones(N), jnp.ones(N), jnp.ones(N, bool), te)
+               jnp.ones(N), jnp.ones(N), jnp.ones(N, bool), L, P)
     oc, oo = m.apply(v, fc, fr, boxes, jnp.ones(N), jnp.ones(N),
-                     jnp.ones(N, bool), te)
-    assert oc.shape == (N, 2 * Ch) and oo.shape == (N, 2 * Ch)
+                     jnp.ones(N, bool), L, P)
+    assert oc.shape == (N, Ch) and oo.shape == (N, Ch)
     assert np.isfinite(np.asarray(oc)).all()

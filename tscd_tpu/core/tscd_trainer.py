@@ -106,13 +106,17 @@ class TSCDTrainer:
                              "batch_stats": state.batch_stats}
                 if fix_bn:
                     # frozen-backbone stage-2: BN in eval mode everywhere,
-                    # no stat updates (reference fix_bn semantics)
+                    # no stat updates (reference fix_bn semantics).
+                    # cat_ota_fg still needs the train-path proposal
+                    # injection, so pass labels with train=False: the
+                    # head gates injection on labels presence + its
+                    # cat_ota_fg attribute
                     out = model.apply(variables, frames, time_emb, L, G,
-                                      False)
+                                      False, labels=labels)
                     new_bs = state.batch_stats
                 else:
                     out, mut = model.apply(variables, frames, time_emb, L,
-                                           G, True,
+                                           G, True, labels=labels,
                                            mutable=["batch_stats"])
                     new_bs = mut["batch_stats"]
                 losses = tscd_loss(out, labels, (8, 16, 32), L,

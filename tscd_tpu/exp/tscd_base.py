@@ -33,7 +33,13 @@ class Exp(YoloxExp):
         self.tnum = -1
         # proposals / aggregation
         self.defualt_p = 30                 # reference's (sic) topK name
-        self.minimal_limit = 50             # fixed proposal slots P
+        self.minimal_limit = 50             # validity floor (:1594-1599)
+        # physical proposal slots P = the fixed-shape maximal_limit
+        # (:1600-1607); 0 = same as minimal_limit (the reference's
+        # TSCD-Large configs set maximal_limit=0 i.e. unbounded, but in
+        # practice sub-threshold frames are floor-padded to 50 and
+        # crowded frames rarely exceed it — raise this to widen the cap)
+        self.maximal_limit = 0
         self.defualt_pre = 750
         self.sim_thresh = 0.75
         self.pre_nms = 0.75
@@ -80,7 +86,9 @@ class Exp(YoloxExp):
         return TSCD(num_classes=self.num_classes, depth=self.depth,
                     width=self.width, act=self.act,
                     depthwise=self.depthwise,
-                    num_proposals=self.minimal_limit, heads=self.heads,
+                    num_proposals=self.maximal_limit or self.minimal_limit,
+                    minimal_limit=self.minimal_limit,
+                    cat_ota_fg=self.cat_ota_fg, heads=self.heads,
                     agg_type=self.agg_type,
                     decoder_layer_num=self.decoder_layer_num,
                     reconf=self.reconf, decouple_reg=self.decouple_reg,

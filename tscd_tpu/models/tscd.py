@@ -25,6 +25,8 @@ class TSCD(nn.Module):
     act: str = "silu"
     depthwise: bool = False
     num_proposals: int = 50
+    minimal_limit: Optional[int] = None
+    cat_ota_fg: bool = False
     heads: int = 4
     agg_type: str = "mca"
     decoder_layer_num: int = 1
@@ -43,19 +45,24 @@ class TSCD(nn.Module):
             depthwise=self.depthwise, heads=self.heads,
             agg_type=self.agg_type,
             decoder_layer_num=self.decoder_layer_num,
-            num_proposals=self.num_proposals, reconf=self.reconf,
+            num_proposals=self.num_proposals,
+            minimal_limit=self.minimal_limit, cat_ota_fg=self.cat_ota_fg,
+            reconf=self.reconf,
             decouple_reg=self.decouple_reg, use_pre_nms=self.use_pre_nms,
             sim_thresh=self.sim_thresh, test_conf=self.test_conf,
             dtype=self.dtype)
 
     def __call__(self, x: jax.Array, time_embedding: jax.Array,
                  lframe: int, gframe: int, train: bool = False,
-                 matcher_state: Optional[MatcherState] = None):
+                 matcher_state: Optional[MatcherState] = None,
+                 labels: Optional[jax.Array] = None):
         """x: (F, H, W, 3) frame window [local..., global...];
-        time_embedding: (F, 256)."""
+        time_embedding: (F, 256); labels (F, G, 5) at train time for the
+        cat_ota_fg proposal injection."""
         fpn_outs = self.backbone(x, train)
         return self.head(fpn_outs, time_embedding, lframe, gframe,
-                         train=train, matcher_state=matcher_state)
+                         train=train, matcher_state=matcher_state,
+                         labels=labels)
 
 
 def tscd_eval_postprocess(head_out, lframe: int, num_classes: int,

@@ -52,13 +52,21 @@ class FrameProposals(NamedTuple):
 
 def select_frame_proposals(decoded: jax.Array, num_classes: int, p: int,
                            conf_thresh: float, nms_thre: float,
-                           use_pre_nms: bool, minimal_limit: int
+                           use_pre_nms: bool, minimal_limit: int,
+                           ota_fg: Optional[jax.Array] = None
                            ) -> FrameProposals:
     """Fixed-P proposal selection per frame (postprocess_widx,
-    tscd_head.py:1546): score = obj * best-class prob; conf threshold with
-    top-up to `minimal_limit`; optional class-aware NMS. vmapped over F."""
+    tscd_head.py:1546): score = obj * best-class prob. `p` is the
+    physical slot count — the fixed-shape analog of the reference's
+    `maximal_limit` top-k clamp (:1600-1607); `minimal_limit` is the
+    validity floor (:1594-1599, proposals below conf_thresh are kept up
+    to this rank). Optional class-aware pre-NMS. vmapped over F.
 
-    def one(dec):
+    `ota_fg` (F, A) bool injects SimOTA foreground anchors at train time
+    (cat_ota_fg=True, :1583-1589): fg anchors are ranked first (always
+    selected and valid, up to P), remaining slots fill by score."""
+
+    def one(dec, fg):
         boxes = box_cxcywh_to_xyxy(dec[:, :4])
         obj = dec[:, 4]
         cls_scores = dec[:, 5:5 + num_classes]
@@ -80,13 +88,23 @@ def select_frame_proposals(decoded: jax.Array, num_classes: int, p: int,
             out_s, pick = jax.lax.top_k(surv, p)
             idx = top_i[pick]
             valid = out_s > -jnp.inf
+        elif fg is not None:
+            # scores are sigmoid products in [0, 1]; +2 ranks every fg
+            # anchor above every non-fg anchor
+            key = score + 2.0 * fg.astype(score.dtype)
+            _, idx = jax.lax.top_k(key, p)
+            raw = score[idx]
+            valid = (fg[idx] | (raw >= conf_thresh)
+                     | (jnp.arange(p) < minimal_limit))
         else:
             out_s, idx = jax.lax.top_k(score, p)
             valid = (out_s >= conf_thresh) | (jnp.arange(p) < minimal_limit)
         return FrameProposals(boxes[idx], obj[idx], cls_conf[idx],
                               cls_id[idx], cls_scores[idx], idx, valid)
 
-    return jax.vmap(one)(decoded)
+    if ota_fg is None:
+        return jax.vmap(lambda d: one(d, None))(decoded)
+    return jax.vmap(one)(decoded, ota_fg)
 
 
 def decode_reg_offsets(offsets: jax.Array, still_boxes: jax.Array,
@@ -132,7 +150,9 @@ class TSCDHead(nn.Module):
     heads: int = 4
     agg_type: str = "mca"            # 'mca' | 'mca_aware' (SE edge keys)
     decoder_layer_num: int = 1       # referring cross-attn layers (CAFM)
-    num_proposals: int = 50          # Afternum/minimal_limit merged: fixed P
+    num_proposals: int = 50          # physical slots P (= maximal_limit)
+    minimal_limit: Optional[int] = None  # validity floor (None -> P)
+    cat_ota_fg: bool = False         # inject SimOTA fg anchors at train
     pre_nms: float = 0.75
     sim_thresh: float = 0.75
     ave: bool = True
@@ -153,11 +173,13 @@ class TSCDHead(nn.Module):
     @nn.compact
     def __call__(self, xin: Sequence[jax.Array], time_embedding: jax.Array,
                  lframe: int, gframe: int, train: bool = False,
-                 matcher_state: Optional[MatcherState] = None
+                 matcher_state: Optional[MatcherState] = None,
+                 labels: Optional[jax.Array] = None
                  ) -> Dict[str, Any]:
         """xin: 3 FPN levels, each (F, h, w, c), frames [local..., global...].
-        time_embedding: (F, 256). Returns a dict of raw + refined outputs
-        plus the new matcher state."""
+        time_embedding: (F, 256). `labels` (F, G, 5) enables the
+        cat_ota_fg train-time proposal injection. Returns a dict of raw +
+        refined outputs plus the new matcher state."""
         Conv = DWConv if self.depthwise else BaseConv
         hidden = int(256 * self.width)
         dt = self.dtype
@@ -215,14 +237,37 @@ class TSCDHead(nn.Module):
         decoded = jnp.concatenate(
             [dec[..., :4], jax.nn.sigmoid(dec[..., 4:])], -1)
 
-        props = select_frame_proposals(
-            jax.lax.stop_gradient(decoded), C, P, self.test_conf,
-            self.pre_nms, self.use_pre_nms, P)
-
         out: Dict[str, Any] = {
             "raw_outputs": raw_outputs, "hw": hw, "decoded": decoded,
-            "proposals": props, "matcher_state": matcher_state,
+            "matcher_state": matcher_state,
         }
+
+        # cat_ota_fg (tscd_head.py:1583-1589): run SimOTA here (the
+        # reference's get_fg_idx-inside-forward, :1712) and rank its fg
+        # anchors into the proposal slots; the loss reuses out["simota"]
+        # gate on labels presence, not `train`: fix_bn training runs the
+        # modules with train=False but still injects (labels are only
+        # ever passed by the train steps)
+        ota_fg = None
+        if self.cat_ota_fg and labels is not None:
+            from ..ops.decode import anchor_centers
+            from ..ops.simota import simota_assign_batch
+            from ..train.losses import labels_to_padded
+            gt_boxes, gt_classes, gt_valid = labels_to_padded(labels)
+            xs, ys, ss = anchor_centers(hw, self.strides)
+            tgt = jax.lax.stop_gradient(simota_assign_batch(
+                dec[..., :4], raw32[..., 4], raw32[..., 5:],
+                gt_boxes, gt_classes, gt_valid,
+                jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ss)))
+            out["simota"] = tgt
+            ota_fg = tgt.fg_mask
+
+        props = select_frame_proposals(
+            jax.lax.stop_gradient(decoded), C, P, self.test_conf,
+            self.pre_nms, self.use_pre_nms,
+            P if self.minimal_limit is None else self.minimal_limit,
+            ota_fg=ota_fg)
+        out["proposals"] = props
 
         # gather per-proposal features (find_feature_score, :976)
         take = jax.vmap(lambda feats, idx: feats[idx])

@@ -37,93 +37,263 @@ from .yolo_head import flatten_levels
 NEG = -1e9
 
 
-class LocalAggregation(nn.Module):
-    """Location-relation self-attention (post_trans.py:972
-    LocalAggregation + SelfAttentionLocal:47): QK cosine attention over
-    all proposals with a geometric relation bias
-    (log-relative-position sinusoidal embedding -> per-head scalar via a
-    small MLP, the Relation-Network pattern) and absolute time embedding
-    added to the inputs. Options mirrored: pure_pos_emb (bias only),
-    loc_conf (scale by fg score), iou-window masking via `iou_mask`."""
+def pure_position_embedding(boxes: jax.Array, width: int,
+                            height: int) -> jax.Array:
+    """(N, 4) xyxy -> (N, 4) log absolute geometry
+    (yolox/utils/box_op.py:84)."""
+    w = boxes[:, 2] - boxes[:, 0] + 1
+    h = boxes[:, 3] - boxes[:, 1] + 1
+    cx = 0.5 * (boxes[:, 0] + boxes[:, 2])
+    cy = 0.5 * (boxes[:, 1] + boxes[:, 3])
+    return jnp.stack([jnp.log(jnp.abs(cx / width) + 1e-3),
+                      jnp.log(jnp.abs(cy / height) + 1e-3),
+                      jnp.log(w / width), jnp.log(h / height)], axis=-1)
+
+
+def iou_window_mask(N: int, lframe: int, p: int, window: int) -> jax.Array:
+    """(N, N) frame-window visibility for iou_base aggregation
+    (SelfAttentionLocal:128-136): query row q in frame fq may attend key
+    k in frame fk iff fk-window <= fq <= fk+window-1 (clamped to
+    [0, lframe)). Rows beyond lframe*p (global frames, if any) are
+    unmasked like the reference's untouched zeros... the reference only
+    runs iou_base with local-only windows (lframe*p == N)."""
+    frame = jnp.arange(N) // p
+    fq, fk = frame[:, None], frame[None, :]
+    lower = jnp.maximum(fk - window, 0)
+    upper = jnp.minimum(fk + window, lframe)
+    return (fq >= lower) & (fq < upper)
+
+
+class SelfAttentionLocal(nn.Module):
+    """SelfAttentionLocal (post_trans.py:47): plain scaled-dot-product
+    attention (scale = head_dim**-0.5, no QK normalization) with a
+    location-relation branch. Options mirrored 1:1:
+      use_loc_emb: relation-network bias — log(relu(1x1(pos_emb)))
+        added ('add') or multiplied ('dot') onto the logits (:163-168)
+      use_time_emd: per-frame sinusoidal added to the relation grid
+      pure_pos_emb: absolute log-geometry embedding added to the INPUT
+        features, fuse becomes 'identity' (:118-127)
+      loc_conf: logits scaled by cls_score; relation bias gated by
+        fg_score > 0.001 (:110-114, :155-158)
+      iou_base/iou_window: post-softmax mask by (IoU>0) x frame window,
+        renormalized (:128-136, :173-176); disables the embeddings
+      reconf: shared q/k from cat[x, x_reg] (first half of a 2C->4C
+        projection — the reference leaves chunks 2-3 unused), separate
+        v_cls/v_reg (:71-75)."""
 
     num_heads: int = 4
-    scale: float = 25.0
-    use_time_emb: bool = True
-    loc_conf: bool = False
-    pure_pos_emb: bool = False
     reconf: bool = False
+    use_time_emd: bool = False
+    use_loc_emb: bool = True
+    loc_fuse_type: str = "add"
+    pure_pos_emb: bool = False
+    loc_conf: bool = False
+    iou_base: bool = False
+    iou_window: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_cls: jax.Array, x_reg: jax.Array,
+                 boxes: jax.Array, cls_score: jax.Array,
+                 fg_score: jax.Array, valid: jax.Array, lframe: int,
+                 p: int, width: int = 576, height: int = 576):
+        N, C = x_cls.shape
+        h = self.num_heads
+        f32 = jnp.float32
+        use_loc = self.use_loc_emb and not self.iou_base
+        use_pure = self.pure_pos_emb and not self.iou_base
+        use_time = self.use_time_emd and not self.iou_base
+        fuse = "identity" if (use_pure or self.iou_base) else \
+            self.loc_fuse_type
+
+        attn_lt = None
+        if use_loc and not use_pure:
+            pos_mat = extract_position_matrix(boxes, boxes)     # (N, N, 4)
+            loc_emd = extract_position_embedding(pos_mat, 64)   # (N, N, 64)
+            if use_time:
+                from ..ops.position import get_timing_signal_1d
+                import numpy as np
+                te = jnp.asarray(get_timing_signal_1d(
+                    np.arange(N // p), 64))                     # (F, 64)
+                # the reference tiles (LF,1,64).repeat(P,N,1): query row
+                # q gets frame q % LF, not q // P (post_trans.py:105-107
+                # quirk, reproduced for checkpoint parity)
+                loc_emd = loc_emd + te[jnp.arange(N) % (N // p)][:, None, :]
+            attn_lt = nn.Dense(h, dtype=self.dtype, name="loc2feature")(
+                loc_emd.astype(self.dtype))
+            attn_lt = jax.nn.relu(attn_lt.astype(f32)).transpose(2, 0, 1)
+            if self.loc_conf:
+                attn_lt = attn_lt * (fg_score > 0.001).astype(
+                    f32)[None, None, :]
+        elif use_pure:
+            plf = pure_position_embedding(boxes.astype(f32), width, height)
+            add = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                           name="loc2feature")(plf.astype(self.dtype))
+            if use_time:
+                from ..ops.position import get_timing_signal_1d
+                import numpy as np
+                te = jnp.asarray(get_timing_signal_1d(
+                    np.arange(N // p), C))
+                add = add + te[jnp.arange(N) // p]
+            x_cls = x_cls + add
+
+        if self.reconf:
+            qk = nn.Dense(4 * C, use_bias=False, dtype=self.dtype,
+                          name="qk")(jnp.concatenate([x_cls, x_reg], -1))
+            q, k = jnp.split(qk, 4, -1)[:2]
+            v_cls = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                             name="v_cls")(x_cls)
+            v_reg = nn.Dense(C, use_bias=False, dtype=self.dtype,
+                             name="v_reg")(x_reg)
+        else:
+            qkv = nn.Dense(3 * C, use_bias=False, dtype=self.dtype,
+                           name="qkv")(x_cls)
+            q, k, v_cls = jnp.split(qkv, 3, -1)
+            v_reg = None
+
+        qh, kh = _split_heads(q, h), _split_heads(k, h)
+        logits = jnp.einsum("hqd,hkd->hqk", qh, kh,
+                            preferred_element_type=f32) * (C // h) ** -0.5
+        if self.loc_conf and cls_score is not None:
+            logits = logits * cls_score.astype(f32)[None, None, :]
+        if fuse == "add":
+            logits = logits + jnp.log(attn_lt + 1e-6)
+        elif fuse == "dot":
+            logits = logits * jnp.log(attn_lt + 1e-6)
+
+        kmask = jnp.where(valid[None, None, :], 0.0, NEG)
+        attn = jax.nn.softmax(logits + kmask, -1)               # (h, N, N)
+
+        if self.iou_base:
+            from ..ops.boxes import pairwise_iou_xyxy
+            win = (iou_window_mask(N, lframe, p, self.iou_window)
+                   if self.iou_window != 0 else jnp.ones((N, N), bool))
+            iou_mat = ((pairwise_iou_xyxy(boxes, boxes) > 0.0) & win
+                       & valid[None, :]).astype(f32)
+            attn = attn * iou_mat[None]
+            attn = attn / jnp.maximum(
+                jnp.sum(attn, -1, keepdims=True), 1e-12)
+
+        if self.reconf:
+            # The reference's reconf branch carries a leading singleton
+            # dim on v (reshape(B,N,1,h,d).permute -> (1,B,h,N,d)), so
+            # its `.transpose(1,2).reshape(B,N,C)` flattens the
+            # attention output in (head, token, dim) order — a layout
+            # scramble (post_trans.py:141-146 vs the correct :178-179
+            # non-reconf path). Reference checkpoints are trained
+            # against it, so reproduce it exactly.
+            def scrambled(v):
+                o = jnp.einsum("hqk,hkd->hqd", attn,
+                               _split_heads(v, h).astype(f32))
+                return o.reshape(N, C).astype(self.dtype)
+
+            return scrambled(v_cls), scrambled(v_reg)
+        out_cls = _merge_heads(jnp.einsum(
+            "hqk,hkd->hqd", attn, _split_heads(v_cls, h).astype(f32))
+        ).astype(self.dtype)
+        return out_cls, None
+
+
+class LocalFFN(nn.Module):
+    """FFN (post_trans.py:184): Linear -> GELU -> Linear."""
+
+    hidden_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        x = nn.Dense(int(C * self.hidden_ratio), dtype=self.dtype,
+                     name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(C, dtype=self.dtype, name="fc2")(x)
+
+
+class TransformerBlockLocal(nn.Module):
+    """TransformerBlock (post_trans.py:199): pre-norm attention with
+    residuals; reconf keeps separate cls/reg residual+FFN streams."""
+
+    num_heads: int = 4
+    reconf: bool = False
+    use_ffn: bool = True
+    use_time_emd: bool = False
+    use_loc_emb: bool = True
+    loc_fuse_type: str = "add"
+    pure_pos_emb: bool = False
+    loc_conf: bool = False
+    iou_base: bool = False
+    iou_window: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_cls, x_reg, boxes, cls_score, fg_score, valid,
+                 lframe, p, width=576, height=576):
+        attn = SelfAttentionLocal(
+            self.num_heads, self.reconf, self.use_time_emd,
+            self.use_loc_emb, self.loc_fuse_type, self.pure_pos_emb,
+            self.loc_conf, self.iou_base, self.iou_window,
+            dtype=self.dtype, name="attn")
+        n1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
+        n3 = nn.LayerNorm(dtype=jnp.float32, name="norm3")
+        a_cls, a_reg = attn(n1(x_cls).astype(self.dtype),
+                            n3(x_reg).astype(self.dtype), boxes,
+                            cls_score, fg_score, valid, lframe, p,
+                            width, height)
+        if self.reconf:
+            x_reg = x_reg + a_reg
+            x_cls = x_cls + a_cls
+            if self.use_ffn:
+                x_cls = x_cls + LocalFFN(dtype=self.dtype, name="mlp")(
+                    nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+                        x_cls).astype(self.dtype))
+                x_reg = x_reg + LocalFFN(dtype=self.dtype, name="mlp_conf")(
+                    nn.LayerNorm(dtype=jnp.float32, name="norm4")(
+                        x_reg).astype(self.dtype))
+            return x_cls, x_reg
+        x_cls = x_cls + a_cls
+        if self.use_ffn:
+            x_cls = x_cls + LocalFFN(dtype=self.dtype, name="mlp")(
+                nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+                    x_cls).astype(self.dtype))
+        return x_cls, x_reg
+
+
+class LocalAggregation(nn.Module):
+    """LocalAggregation (post_trans.py:972): a stack of `blocks`
+    TransformerBlockLocal layers over all proposals (features stay at C
+    dims; the reference's cls_pred for this path is Linear(C, classes)).
+    """
+
+    num_heads: int = 4
+    blocks: int = 1
+    reconf: bool = False
+    use_ffn: bool = True
+    use_time_emd: bool = False
+    use_loc_emb: bool = True
+    loc_fuse_type: str = "add"
+    pure_pos_emb: bool = False
+    loc_conf: bool = False
+    iou_base: bool = False
+    iou_window: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat_cls: jax.Array, feat_reg: jax.Array,
                  boxes: jax.Array, cls_score: jax.Array,
-                 fg_score: jax.Array, valid: jax.Array,
-                 time_emb: Optional[jax.Array] = None,
-                 iou_mask: Optional[jax.Array] = None):
-        """feat_*: (N, C) all frames' proposals flattened; boxes (N, 4)
-        xyxy; time_emb (N, 256) per-proposal absolute frame embedding.
-        Returns (cls (N, 2C), obj (N, 2C) or None)."""
-        N, C = feat_cls.shape
-        h = self.num_heads
-        f32 = jnp.float32
-
+                 fg_score: jax.Array, valid: jax.Array, lframe: int,
+                 p: int, width: int = 576, height: int = 576):
+        """feat_*: (N, C) proposals flattened across frames (N = F*p);
+        boxes (N, 4) xyxy. Returns (cls (N, C), reg (N, C))."""
         x_cls, x_reg = feat_cls, feat_reg
-        if self.use_time_emb and time_emb is not None:
-            te = nn.Dense(C, dtype=self.dtype, name="time_proj")(
-                time_emb.astype(self.dtype))
-            x_cls = x_cls + te
-            x_reg = x_reg + te
-
-        # geometric relation bias (SelfAttentionLocal:54-171)
-        pos_mat = extract_position_matrix(boxes, boxes)        # (N, N, 4)
-        pos_emb = extract_position_embedding(pos_mat, 64)      # (N, N, 64)
-        rel_bias = nn.Dense(h, dtype=self.dtype, name="pos_fc")(
-            pos_emb.astype(self.dtype))                        # (N, N, h)
-        rel_bias = jnp.maximum(rel_bias.astype(f32), 1e-6)
-        rel_bias = jnp.log(rel_bias).transpose(2, 0, 1)        # (h, N, N)
-
-        if self.pure_pos_emb:
-            logits = rel_bias
-        else:
-            qkv_c = nn.Dense(3 * C, use_bias=False, dtype=self.dtype,
-                             name="qkv_cls")(x_cls)
-            q_c, k_c, v_c = jnp.split(qkv_c, 3, -1)
-            qkv_r = nn.Dense(3 * C, use_bias=False, dtype=self.dtype,
-                             name="qkv_reg")(x_reg)
-            q_r, k_r, v_r = jnp.split(qkv_r, 3, -1)
-            qc, kc = map(lambda z: _l2norm(_split_heads(z, h)), (q_c, k_c))
-            qr, kr = map(lambda z: _l2norm(_split_heads(z, h)), (q_r, k_r))
-            att_c = jnp.einsum("hqd,hkd->hqk", qc, kc,
-                               preferred_element_type=f32) * self.scale
-            att_r = jnp.einsum("hqd,hkd->hqk", qr, kr,
-                               preferred_element_type=f32) * self.scale
-            if self.loc_conf:
-                att_c = att_c * fg_score.astype(f32)[None, None, :]
-            logits = 0.5 * (att_c + att_r) + rel_bias
-        kmask = jnp.where(valid[None, None, :], 0.0, NEG)
-        if iou_mask is not None:
-            kmask = kmask + jnp.where(iou_mask[None], 0.0, NEG)
-        attn = jax.nn.softmax(logits + kmask, -1)              # (h, N, N)
-
-        v_c = nn.Dense(C, use_bias=False, dtype=self.dtype,
-                       name="v_cls")(x_cls) if self.pure_pos_emb else v_c
-        vc = _split_heads(v_c, h)
-        out = _merge_heads(jnp.einsum("hqk,hkd->hqd", attn,
-                                      vc.astype(f32)))
-        out_cls = jnp.concatenate([out, feat_cls.astype(f32)],
-                                  -1).astype(self.dtype)
-        if self.reconf:
-            v_r2 = (nn.Dense(C, use_bias=False, dtype=self.dtype,
-                             name="v_reg")(x_reg) if self.pure_pos_emb
-                    else v_r)
-            vr = _split_heads(v_r2, h)
-            out_r = _merge_heads(jnp.einsum("hqk,hkd->hqd", attn,
-                                            vr.astype(f32)))
-            out_obj = jnp.concatenate([out_r, feat_reg.astype(f32)],
-                                      -1).astype(self.dtype)
-        else:
-            out_obj = None
-        return out_cls, out_obj
+        for i in range(self.blocks):
+            x_cls, x_reg = TransformerBlockLocal(
+                self.num_heads, self.reconf, self.use_ffn,
+                self.use_time_emd, self.use_loc_emb, self.loc_fuse_type,
+                self.pure_pos_emb, self.loc_conf, self.iou_base,
+                self.iou_window, dtype=self.dtype, name=f"block_{i}")(
+                x_cls, x_reg, boxes, cls_score, fg_score, valid,
+                lframe, p, width, height)
+        return x_cls, x_reg
 
 
 class _VideoTowers(nn.Module):
@@ -215,6 +385,7 @@ class YOLOVHead(nn.Module):
     use_mask: bool = False
     use_pre_nms: bool = True
     reconf: bool = False
+    use_score: bool = True           # yolovp_msa.py:322
     test_conf: float = 0.001
     dtype: Any = jnp.float32
 
@@ -240,8 +411,11 @@ class YOLOVHead(nn.Module):
         take = jax.vmap(lambda feats, idx: feats[idx])
         f_cls = take(cls_feat, props.idx).reshape(-1, hidden)   # (F*P, h)
         f_reg = take(reg_feat, props.idx).reshape(-1, hidden)
-        flat_cs = props.cls_conf.reshape(-1)
-        flat_fs = props.obj.reshape(-1)
+        # use_score=False -> constant-1 guidance (yolovp_msa.py:322)
+        flat_cs = (props.cls_conf.reshape(-1) if self.use_score
+                   else jnp.ones(props.cls_conf.size, jnp.float32))
+        flat_fs = (props.obj.reshape(-1) if self.use_score
+                   else jnp.ones(props.obj.size, jnp.float32))
         flat_valid = props.valid.reshape(-1)
 
         agg_cls, agg_obj = MSAYolov(
@@ -285,7 +459,18 @@ class YOLOVPlusHead(nn.Module):
     reconf: bool = True
     decouple_reg: bool = True
     agg_type: str = "mca"            # 'mca' | 'msa' | 'localagg'
+    use_score: bool = True           # score-guide the aggregation
     test_conf: float = 0.001
+    # localagg options (v_plus_base.py:76-110)
+    local_blocks: int = 1
+    use_ffn: bool = True
+    use_time_emd: bool = False
+    use_loc_emb: bool = True
+    loc_fuse_type: str = "add"
+    pure_pos_emb: bool = False
+    loc_conf: bool = False
+    iou_base: bool = False
+    iou_window: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -316,30 +501,39 @@ class YOLOVPlusHead(nn.Module):
         out: Dict[str, Any] = {"raw_outputs": raw_outputs, "hw": hw,
                                "decoded": decoded, "proposals": props}
 
+        # use_score=False drops the score guidance (yolovp_msa.py:322
+        # passes None; a constant 1 is arithmetically identical and keeps
+        # the call signature static)
+        cs = props.cls_conf if self.use_score else jnp.ones_like(
+            props.cls_conf)
+        fs = props.obj if self.use_score else jnp.ones_like(props.obj)
+
         if self.agg_type == "localagg":
             F = props.boxes.shape[0]
-            te = None
-            if time_embedding is not None:
-                te = jnp.repeat(time_embedding, P, axis=0)    # (F*P, 256)
+            W = xin[0].shape[2] * self.strides[0]
+            H = xin[0].shape[1] * self.strides[0]
             agg_cls, agg_obj = LocalAggregation(
-                self.heads, reconf=self.reconf or self.decouple_reg,
+                self.heads, blocks=self.local_blocks, reconf=self.reconf,
+                use_ffn=self.use_ffn, use_time_emd=self.use_time_emd,
+                use_loc_emb=self.use_loc_emb,
+                loc_fuse_type=self.loc_fuse_type,
+                pure_pos_emb=self.pure_pos_emb, loc_conf=self.loc_conf,
+                iou_base=self.iou_base, iou_window=self.iou_window,
                 dtype=self.dtype, name="agg")(
                 f_cls.reshape(-1, hidden), f_reg.reshape(-1, hidden),
-                props.boxes.reshape(-1, 4), props.cls_conf.reshape(-1),
-                props.obj.reshape(-1), props.valid.reshape(-1), te)
-            agg_cls = nn.Dense(4 * hidden, dtype=self.dtype,
-                               name="cls_proj")(agg_cls)
+                props.boxes.reshape(-1, 4), cs.reshape(-1),
+                fs.reshape(-1), props.valid.reshape(-1), F, P, W, H)
+            # features stay C-dim; non-reconf passes reg through
+            # untouched (TransformerBlock:226-230) so obj_pred sees the
+            # raw gathered reg features like the reference
             agg_cls = agg_cls.reshape(F, P, -1)[:L]
-            if agg_obj is not None:
-                agg_obj = nn.Dense(4 * hidden, dtype=self.dtype,
-                                   name="obj_proj")(agg_obj)
-                agg_obj = agg_obj.reshape(F, P, -1)[:L]
+            agg_obj = agg_obj.reshape(F, P, -1)[:L]
         elif self.agg_type == "msa":
             agg_cls, agg_obj = MSAYolov(
                 4 * hidden, self.heads, reconf=self.reconf, dtype=self.dtype,
                 name="agg")(
                 f_cls.reshape(-1, hidden), f_reg.reshape(-1, hidden),
-                props.cls_conf.reshape(-1), props.obj.reshape(-1),
+                cs.reshape(-1), fs.reshape(-1),
                 props.valid.reshape(-1), sim_thresh=self.sim_thresh,
                 ave=self.ave, use_mask=self.use_mask)
             F = props.boxes.shape[0]
@@ -349,14 +543,14 @@ class YOLOVPlusHead(nn.Module):
         else:  # 'mca': local frames query (local + global) keys
             agg_cls, _ = MCAg2l(4 * hidden, self.heads, reconf=False,
                                 dtype=self.dtype, name="agg")(
-                f_cls, f_reg, props.cls_conf, props.obj, props.valid, L,
+                f_cls, f_reg, cs, fs, props.valid, L,
                 sim_thresh=self.sim_thresh, ave=self.ave,
                 use_mask=self.use_mask)
             agg_obj = None
             if self.decouple_reg:
                 _, agg_obj = MCAg2l(4 * hidden, self.heads, reconf=True,
                                     dtype=self.dtype, name="agg_iou")(
-                    f_cls, f_reg, props.cls_conf, props.obj, props.valid,
+                    f_cls, f_reg, cs, fs, props.valid,
                     L, sim_thresh=self.sim_thresh, ave=self.ave,
                     use_mask=self.use_mask)
 

@@ -93,11 +93,16 @@ def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
     cls_logits = raw[..., 5:]
 
     gt_boxes, gt_classes, gt_valid = labels_to_padded(labels)
-    xs, ys, ss = anchor_centers(hw, strides)
-    xs, ys, ss = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ss))
-    tgt = jax.lax.stop_gradient(simota_assign_batch(
-        bbox_preds, obj_logits, cls_logits,
-        gt_boxes, gt_classes, gt_valid, xs, ys, ss))
+    if "simota" in head_out:
+        # cat_ota_fg heads already ran SimOTA inside forward
+        # (tscd_head.py get_fg_idx equivalent) — reuse the assignment
+        tgt = head_out["simota"]
+    else:
+        xs, ys, ss = anchor_centers(hw, strides)
+        xs, ys, ss = (jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(ss))
+        tgt = jax.lax.stop_gradient(simota_assign_batch(
+            bbox_preds, obj_logits, cls_logits,
+            gt_boxes, gt_classes, gt_valid, xs, ys, ss))
 
     num_fg = jnp.maximum(jnp.sum(tgt.num_fg), 1.0)
     fg = tgt.fg_mask.astype(jnp.float32)

@@ -82,7 +82,7 @@ def make_tscd_train_step(model, tx, lframe: int, gframe: int,
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 frames, time_emb, lframe, gframe, True,
-                mutable=["batch_stats"])
+                labels=labels, mutable=["batch_stats"])
             losses = tscd_loss(out, labels, strides, lframe,
                                ota_mode=ota_mode)
             return losses["total_loss"], (losses, mut["batch_stats"])

@@ -128,6 +128,14 @@ def _translate_video(parts):
         elif p == "multihead_attn" or p == "self_attn":
             out.append("attn")
             i += 1
+        elif p == "transBlocks":
+            # LocalAggregation blocks (post_trans.py:972)
+            out.append(f"block_{parts[i + 1]}")
+            i += 2
+        elif p == "net" and i + 1 < len(parts) and parts[i + 1] in ("0", "3"):
+            # FFN Sequential(Linear, GELU, Dropout, Linear, Dropout)
+            out.append("fc1" if parts[i + 1] == "0" else "fc2")
+            i += 2
         elif p == "fc" and i + 1 < len(parts) and parts[i + 1] in ("0", "2"):
             # SEModule Sequential(Linear, ReLU, Linear) -> fc1/fc2
             out.append("fc1" if parts[i + 1] == "0" else "fc2")
@@ -157,11 +165,12 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray]
         parts = _translate_head(parts)
         parts = _translate_video(parts)
 
-        # PositionMHAttention.position_embedding is a 1x1 Conv2d over the
-        # 64-dim relative-geometry embedding (tscd_matching.py:27); the
-        # rebuild applies it as a Dense on the last axis
+        # PositionMHAttention.position_embedding and SelfAttentionLocal's
+        # loc2feature are 1x1 Conv2d over the 64-dim relative-geometry
+        # embedding (tscd_matching.py:27, post_trans.py:86); the rebuild
+        # applies them as a Dense on the last axis
         if (leaf == "weight" and arr.ndim == 4 and parts
-                and parts[-1] == "position_embedding"):
+                and parts[-1] in ("position_embedding", "loc2feature")):
             params[tuple(parts) + ("kernel",)] = arr[:, :, 0, 0].T
             continue
 

@@ -148,7 +148,11 @@ def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
         loss_matched_obj = jnp.sum(
             bce_with_logits(head_out["matcher_obj_logits"].astype(jnp.float32),
                             refined_fg_f) * obj_weight) / num_fg_local
-        # clip at 15 (reference :1186-1187) without killing the gradient
+        # clip at 15 exactly like the reference (tscd_head.py:1185-1186):
+        # `loss / float(loss) * 15` — float() detaches, so the reference
+        # rescales the VALUE to 15 while the gradient keeps its direction
+        # scaled by 15/loss. stop_gradient reproduces that semantics
+        # bit-for-bit (tests/test_loss_clip.py proves grad equality).
         loss_matched_obj = jnp.where(
             loss_matched_obj > 15.0,
             loss_matched_obj * jax.lax.stop_gradient(

@@ -88,11 +88,14 @@ def test_repp_filters_low_score_tubelets():
 
 
 def test_pair_features_identity():
-    d = {"bbox": [10, 10, 20, 20], "scores": np.array([0.1, 0.9])}
+    # reference feature set (repp_utils.get_pair_features:31)
+    d = {"bbox": [10, 10, 20, 20], "bbox_center": [0.5, 0.5],
+         "scores": np.array([0.1, 0.9])}
     f = get_pair_features(d, d)
     assert f["iou"] == pytest.approx(1.0)
-    assert f["x_dist"] == 0 and f["w_ratio"] == 0
-    assert f["score_cos"] == pytest.approx(1.0)
+    assert f["width_rel"] == pytest.approx(1.0)
+    assert f["height_rel"] == pytest.approx(1.0)
+    assert f["center_distances_corrected"] == 0.0
 
 
 def test_online_previous_selection_eviction():

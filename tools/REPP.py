@@ -37,8 +37,12 @@ def make_parser():
     p.add_argument("--min_pred_score", type=float, default=0.01)
     p.add_argument("--recoordinate_std", type=float, default=1.0)
     p.add_argument("--clf_model", default=None,
-                   help="logreg pair-classifier pickle (appearance "
-                        "matching)")
+                   help="logreg pair-classifier model: the reference's "
+                        "matching_model_logreg.pckl or a JSON from "
+                        "tools/train_repp_clf.py")
+    p.add_argument("--clf_thr", type=float, default=0.7)
+    p.add_argument("--clf_mode", default="dot",
+                   choices=["max", "dot", "dot_plus", "raw"])
     p.add_argument("--evaluate", action="store_true")
     p.add_argument("--annotations", default=None,
                    help="pickle of {video: {frame: (N,5) gt rows}} for "
@@ -54,7 +58,7 @@ def main():
     repp = REPP(min_tubelet_score=args.min_tubelet_score,
                 min_pred_score=args.min_pred_score,
                 recoordinate_std=args.recoordinate_std,
-                appearance_matching=args.clf_model is not None,
+                clf_threshold=args.clf_thr, clf_mode=args.clf_mode,
                 clf_model_path=args.clf_model)
 
     coco_out = []

@@ -36,41 +36,78 @@ def iou_xywh(b1, b2) -> float:
 
 
 def get_pair_features(det1: dict, det2: dict,
-                      image_size: Sequence[float] = (1.0, 1.0)) -> dict:
-    """Pair descriptors between two detections in consecutive frames
-    (reference repp_utils.get_pair_features:31): normalized center
-    distances, log size ratios, IoU, score-vector relations."""
+                      feat_names: Sequence[str] = ()) -> dict:
+    """Pair descriptors between two detections in consecutive frames —
+    exact reference feature set (repp_utils.get_pair_features:31):
+    width_rel/height_rel (min/max side ratios), IoU, euclidean distance
+    between normalized bbox centers, and (when 'emb' descriptors exist)
+    descriptor L2 distance. Empty feat_names = all available."""
     b1, b2 = np.asarray(det1["bbox"], float), np.asarray(det2["bbox"], float)
-    w, h = float(image_size[0]) or 1.0, float(image_size[1]) or 1.0
-    c1 = (b1[0] + b1[2] / 2, b1[1] + b1[3] / 2)
-    c2 = (b2[0] + b2[2] / 2, b2[1] + b2[3] / 2)
-    s1 = np.asarray(det1["scores"], float)
-    s2 = np.asarray(det2["scores"], float)
-    dot = float(np.dot(s1, s2) /
-                (np.linalg.norm(s1) * np.linalg.norm(s2) + 1e-12))
-    return {
-        "x_dist": abs(c1[0] - c2[0]) / w,
-        "y_dist": abs(c1[1] - c2[1]) / h,
-        "w_ratio": math.log(max(b1[2], 1e-6) / max(b2[2], 1e-6)),
-        "h_ratio": math.log(max(b1[3], 1e-6) / max(b2[3], 1e-6)),
-        "iou": iou_xywh(b1, b2),
-        "score_cos": dot,
-        "score_prod": float(np.max(s1) * np.max(s2)),
-    }
+    feats = {}
+    want = lambda n: n in feat_names or len(feat_names) == 0
+    if want("width_rel"):
+        feats["width_rel"] = min(b1[2], b2[2]) / max(b1[2], b2[2])
+    if want("height_rel"):
+        feats["height_rel"] = min(b1[3], b2[3]) / max(b1[3], b2[3])
+    if want("iou"):
+        feats["iou"] = iou_xywh(b1, b2)
+    if want("center_distances_corrected"):
+        c1 = det1.get("bbox_center",
+                      (b1[0] + b1[2] / 2, b1[1] + b1[3] / 2))
+        c2 = det2.get("bbox_center",
+                      (b2[0] + b2[2] / 2, b2[1] + b2[3] / 2))
+        feats["center_distances_corrected"] = math.sqrt(
+            (c2[0] - c1[0]) ** 2 + (c2[1] - c1[1]) ** 2)
+    if (want("descriptor_dist") and "emb" in det1 and "emb" in det2):
+        feats["descriptor_dist"] = float(np.linalg.norm(
+            np.asarray(det1["emb"]) - np.asarray(det2["emb"])))
+    return feats
 
 
-PAIR_FEATURE_ORDER = ("x_dist", "y_dist", "w_ratio", "h_ratio", "iou",
-                      "score_cos", "score_prod")
+# default feature order for models trained by tools/train_repp_clf.py
+PAIR_FEATURE_ORDER = ("width_rel", "height_rel", "iou",
+                      "center_distances_corrected")
 
 
-def rows_to_repp(rows: np.ndarray, num_classes: int) -> List[dict]:
+def load_pair_classifier(path: str):
+    """Load the pair classifier as (predict_proba_fn, feat_names).
+
+    Formats: the reference's matching_model_logreg.pckl — a pickled
+    (sklearn classifier, feature-name list) tuple (REPPM.py:60-62) —
+    or a dependency-free JSON {"coef": [...], "intercept": x,
+    "feats": [...]} written by tools/train_repp_clf.py."""
+    import json
+    import os
+    if path.endswith(".json") or not os.path.splitext(path)[1]:
+        with open(path) as f:
+            m = json.load(f)
+        coef = np.asarray(m["coef"], float).reshape(1, -1)
+        intercept = float(np.asarray(m["intercept"]).reshape(-1)[0])
+        feats = tuple(m["feats"])
+
+        def predict_proba(x):
+            p = 1.0 / (1.0 + np.exp(-(np.asarray(x) @ coef.T + intercept)))
+            return np.concatenate([1.0 - p, p], axis=1)
+
+        return predict_proba, feats
+    with open(path, "rb") as f:
+        clf, feats = pickle.load(f)
+    return clf.predict_proba, tuple(feats)
+
+
+def rows_to_repp(rows: np.ndarray, num_classes: int,
+                 image_size: Sequence[float] = (1.0, 1.0)) -> List[dict]:
     """(K, 7) [x1,y1,x2,y2,obj,score,cls] -> per-detection REPP dicts with
     one-hot-ish score vectors (obj*score at the predicted class)."""
     out = []
+    w = float(image_size[0]) or 1.0
+    h = float(image_size[1]) or 1.0
     for r in np.asarray(rows, float):
         scores = np.zeros(num_classes)
         scores[int(r[6])] = r[4] * r[5]
         out.append({"bbox": [r[0], r[1], r[2] - r[0], r[3] - r[1]],
+                    "bbox_center": [(r[0] + r[2]) / 2 / max(w, h),
+                                    (r[1] + r[3]) / 2 / max(w, h)],
                     "scores": scores})
     return out
 
@@ -78,48 +115,58 @@ def rows_to_repp(rows: np.ndarray, num_classes: int) -> List[dict]:
 class REPP:
     def __init__(self, min_tubelet_score: float = 0.3,
                  min_pred_score: float = 0.01,
-                 distance_threshold: float = 0.5,
-                 clf_threshold: float = 0.5,
+                 clf_threshold: float = 0.7,
+                 clf_mode: str = "dot",
                  recoordinate: bool = True,
                  recoordinate_std: float = 1.0,
-                 appearance_matching: bool = False,
                  clf_model_path: Optional[str] = None,
                  image_size: Sequence[float] = (1.0, 1.0)):
+        """Defaults mirror tools/yolo_repp_cfg.json (clf_thr 0.7,
+        clf_mode 'dot'); no model file -> the baseline IoU-score
+        distance."""
         self.min_tubelet_score = min_tubelet_score
         self.min_pred_score = min_pred_score
-        self.distance_threshold = distance_threshold
         self.clf_threshold = clf_threshold
+        self.clf_mode = clf_mode
         self.do_recoordinate = recoordinate
         self.recoordinate_std = recoordinate_std
         self.image_size = image_size
         self.clf = None
-        if appearance_matching and clf_model_path:
-            with open(clf_model_path, "rb") as f:
-                self.clf = pickle.load(f)
+        self.matching_feats = PAIR_FEATURE_ORDER
+        if clf_model_path:
+            self.clf, self.matching_feats = load_pair_classifier(
+                clf_model_path)
 
     # -- pair distances ----------------------------------------------------
     def distance_def(self, det1: dict, det2: dict) -> float:
-        """Baseline: (1 - IoU) scaled by score dissimilarity
-        (REPPM.py:72)."""
+        """Baseline: 1 / (IoU * score dot product), inf when either is 0
+        (REPPM.py:72-77)."""
         iou = iou_xywh(det1["bbox"], det2["bbox"])
-        if iou <= 0:
-            return float("inf")
-        s1, s2 = np.asarray(det1["scores"]), np.asarray(det2["scores"])
-        score_sim = float(np.dot(s1, s2) /
-                          (np.linalg.norm(s1) * np.linalg.norm(s2) + 1e-12))
-        d = (1.0 - iou) * (1.0 - score_sim + 1e-3)
-        return d if d < self.distance_threshold else float("inf")
+        score = float(np.dot(det1["scores"], det2["scores"]))
+        div = iou * score
+        return 1.0 / div if div > 0 else float("inf")
 
     def distance_logreg(self, det1: dict, det2: dict) -> float:
-        """Logistic-regression pair classifier (REPPM.py:80): P(link) from
-        pair features; distance = 1 - P, inf below clf_threshold."""
-        feats = get_pair_features(det1, det2, self.image_size)
-        x = np.asarray([[feats[k] for k in PAIR_FEATURE_ORDER]])
-        p = float(self.clf.predict_proba(x)[0, 1]) if hasattr(
-            self.clf, "predict_proba") else float(
-            1.0 / (1.0 + np.exp(-(x @ self.clf["coef"].T
-                                  + self.clf["intercept"]))[0, 0]))
-        return 1.0 - p if p >= self.clf_threshold else float("inf")
+        """Logistic-regression pair classifier (REPPM.py:80-101):
+        P(link) from pair features, inf below clf_threshold, then the
+        clf_mode score combination; distance = 1 - score."""
+        feats = get_pair_features(det1, det2, self.matching_feats)
+        x = np.asarray([[feats[k] for k in self.matching_feats]])
+        score = float(self.clf(x)[0, 1])
+        if score < self.clf_threshold:
+            return float("inf")
+        s1, s2 = np.asarray(det1["scores"]), np.asarray(det2["scores"])
+        if self.clf_mode == "max":
+            score = float(s1.max() * s2.max()) * score
+        elif self.clf_mode == "dot":
+            score = float(np.dot(s1, s2)) * score
+        elif self.clf_mode == "dot_plus":
+            score = float(np.dot(s1, s2)) + score
+        elif self.clf_mode == "raw":
+            pass
+        else:
+            raise ValueError(f"clf_mode {self.clf_mode!r} not recognized")
+        return 1.0 - score
 
     def distance(self, det1, det2):
         return (self.distance_logreg(det1, det2) if self.clf is not None

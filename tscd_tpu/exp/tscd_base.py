@@ -42,6 +42,7 @@ class Exp(YoloxExp):
         self.maximal_limit = 0
         self.defualt_pre = 750
         self.sim_thresh = 0.75
+        self.conf_sim_thresh = 0.99  # obj-branch round-2 threshold (ovis v++)
         self.pre_nms = 0.75
         self.use_pre_nms = False
         self.ave = True
@@ -93,7 +94,8 @@ class Exp(YoloxExp):
                     decoder_layer_num=self.decoder_layer_num,
                     reconf=self.reconf, decouple_reg=self.decouple_reg,
                     use_pre_nms=self.use_pre_nms,
-                    sim_thresh=self.sim_thresh, test_conf=0.001)
+                    sim_thresh=self.sim_thresh,
+                    conf_sim_thresh=self.conf_sim_thresh, test_conf=0.001)
 
     def freeze_prefixes(self):
         """Parameter-path prefixes frozen during TSCD stage-2 training

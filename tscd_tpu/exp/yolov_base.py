@@ -25,17 +25,22 @@ class Exp(TSCDBaseExp):
 
     def get_model(self):
         from ..models.yolov import YOLOV, YOLOVPlus
+        # physical proposal slots: maximal_limit cap if set, else the
+        # validity floor, else defualt_p (reference keeps ragged counts;
+        # fixed-shape uses the cap as the slot count)
+        num_p = self.maximal_limit or self.minimal_limit or self.defualt_p
         if self.model_family == "yolov_plus":
             return YOLOVPlus(
                 num_classes=self.num_classes, depth=self.depth,
                 width=self.width, act=self.act, depthwise=self.depthwise,
-                num_proposals=self.minimal_limit, heads=self.heads,
+                num_proposals=num_p, heads=self.heads,
                 reconf=self.reconf, decouple_reg=self.decouple_reg,
-                agg_type=self.agg_type, sim_thresh=self.sim_thresh)
+                agg_type=self.agg_type, sim_thresh=self.sim_thresh,
+                conf_sim_thresh=self.conf_sim_thresh)
         return YOLOV(
             num_classes=self.num_classes, depth=self.depth,
             width=self.width, act=self.act, depthwise=self.depthwise,
-            num_proposals=self.minimal_limit, heads=self.heads,
+            num_proposals=num_p, heads=self.heads,
             reconf=self.reconf, sim_thresh=self.sim_thresh)
 
     def get_trainer(self, args=None):

@@ -181,11 +181,13 @@ class MCACore(nn.Module):
 
     @nn.compact
     def __call__(self, x_cls, x_reg, cls_score, fg_score, key_valid,
-                 n_query, sim_thresh=0.75, ave=True, use_mask=False):
+                 n_query, sim_thresh=0.75, ave=True, use_mask=False,
+                 conf_sim_thresh=0.99):
         p = DualBranchAttention(self.num_heads, self.scale, cross=True,
                                 dtype=self.dtype, name="attn")(
             x_cls, x_reg, cls_score, fg_score, key_valid, n_query,
-            sim_thresh=sim_thresh, use_mask=use_mask)
+            sim_thresh=sim_thresh, use_mask=use_mask,
+            conf_sim_thresh=conf_sim_thresh)
         out_cls = nn.Dense(2 * x_cls.shape[-1], dtype=self.dtype,
                            name="linear")(p.out_cls)
         if self.reconf:
@@ -220,7 +222,7 @@ class MCAg2l(nn.Module):
                  cls_score: jax.Array, fg_score: jax.Array,
                  valid: jax.Array, lframe: int,
                  sim_thresh: float = 0.75, ave: bool = True,
-                 use_mask: bool = False):
+                 use_mask: bool = False, conf_sim_thresh: float = 0.99):
         """feat_*: (F, P, C); scores/valid: (F, P); first lframe frames are
         local. Returns (cls (lframe, P, out_dim), reg same or None)."""
         F, P, C = feat_cls.shape
@@ -239,7 +241,8 @@ class MCAg2l(nn.Module):
                        jnp.concatenate([cs, g_cs], 0),
                        jnp.concatenate([fs, g_fs], 0),
                        jnp.concatenate([vl, g_val], 0), P,
-                       sim_thresh=sim_thresh, ave=ave, use_mask=use_mask)
+                       sim_thresh=sim_thresh, ave=ave, use_mask=use_mask,
+                       conf_sim_thresh=conf_sim_thresh)
 
         out_cls, out_reg = nn.vmap(
             per_frame, variable_axes={"params": None},
@@ -274,13 +277,14 @@ class MCAg2lAware(nn.Module):
                  edge: jax.Array, cls_score: jax.Array,
                  fg_score: jax.Array, valid: jax.Array, lframe: int,
                  sim_thresh: float = 0.75, ave: bool = True,
-                 use_mask: bool = False):
+                 use_mask: bool = False, conf_sim_thresh: float = 0.99):
         from .matching import SEGate
         fused_reg = SEGate(dtype=self.dtype, name="se")(feat_reg, edge)
         return MCAg2l(self.out_dim, self.num_heads, self.scale,
                       self.reconf, dtype=self.dtype, name="mca")(
             feat_cls, fused_reg, cls_score, fg_score, valid, lframe,
-            sim_thresh=sim_thresh, ave=ave, use_mask=use_mask)
+            sim_thresh=sim_thresh, ave=ave, use_mask=use_mask,
+            conf_sim_thresh=conf_sim_thresh)
 
 
 class MSAYolov(nn.Module):
@@ -298,14 +302,16 @@ class MSAYolov(nn.Module):
     def __call__(self, feat_cls: jax.Array, feat_reg: jax.Array,
                  cls_score: jax.Array, fg_score: jax.Array,
                  valid: jax.Array, sim_thresh: float = 0.75,
-                 ave: bool = True, use_mask: bool = False):
+                 ave: bool = True, use_mask: bool = False,
+                 conf_sim_thresh: float = 0.99):
         """feat_*: (N, C) flattened across frames. Returns
         (cls (N, out_dim), obj (N, out_dim) or None)."""
         N, C = feat_cls.shape
         p = DualBranchAttention(self.num_heads, self.scale, cross=False,
                                 dtype=self.dtype, name="msa")(
             feat_cls, feat_reg, cls_score, fg_score, valid, N,
-            sim_thresh=sim_thresh, use_mask=use_mask)
+            sim_thresh=sim_thresh, use_mask=use_mask,
+            conf_sim_thresh=conf_sim_thresh)
         lin1 = nn.Dense(2 * C, dtype=self.dtype, name="linear1")(p.out_cls)
         soft_sim = p.sim_round2 @ lin1                     # (N, 2C)
         out = nn.Dense(self.out_dim, dtype=self.dtype, name="linear2")(

@@ -34,6 +34,7 @@ class TSCD(nn.Module):
     decouple_reg: bool = True
     use_pre_nms: bool = False
     sim_thresh: float = 0.75
+    conf_sim_thresh: float = 0.99
     test_conf: float = 0.001
     dtype: Any = jnp.float32
 
@@ -49,20 +50,26 @@ class TSCD(nn.Module):
             minimal_limit=self.minimal_limit, cat_ota_fg=self.cat_ota_fg,
             reconf=self.reconf,
             decouple_reg=self.decouple_reg, use_pre_nms=self.use_pre_nms,
-            sim_thresh=self.sim_thresh, test_conf=self.test_conf,
+            sim_thresh=self.sim_thresh,
+            conf_sim_thresh=self.conf_sim_thresh,
+            test_conf=self.test_conf,
             dtype=self.dtype)
 
     def __call__(self, x: jax.Array, time_embedding: jax.Array,
                  lframe: int, gframe: int, train: bool = False,
                  matcher_state: Optional[MatcherState] = None,
-                 labels: Optional[jax.Array] = None):
+                 labels: Optional[jax.Array] = None,
+                 stage: str = "full"):
         """x: (F, H, W, 3) frame window [local..., global...];
         time_embedding: (F, 256); labels (F, G, 5) at train time for the
-        cat_ota_fg proposal injection."""
+        cat_ota_fg proposal injection. `stage` is a static profiling cut
+        ('backbone' | 'dense' | 'full')."""
         fpn_outs = self.backbone(x, train)
+        if stage == "backbone":
+            return fpn_outs
         return self.head(fpn_outs, time_embedding, lframe, gframe,
                          train=train, matcher_state=matcher_state,
-                         labels=labels)
+                         labels=labels, stage=stage)
 
 
 def tscd_eval_postprocess(head_out, lframe: int, num_classes: int,

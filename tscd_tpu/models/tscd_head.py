@@ -158,6 +158,7 @@ class TSCDHead(nn.Module):
     ave: bool = True
     test_conf: float = 0.001
     use_mask: bool = False
+    conf_sim_thresh: float = 0.99    # obj-branch round-2 sim threshold
     use_pre_nms: bool = False        # TSCD-Large: False (vid_tscd_large.py)
     reconf: bool = True
     decouple_reg: bool = True
@@ -174,8 +175,8 @@ class TSCDHead(nn.Module):
     def __call__(self, xin: Sequence[jax.Array], time_embedding: jax.Array,
                  lframe: int, gframe: int, train: bool = False,
                  matcher_state: Optional[MatcherState] = None,
-                 labels: Optional[jax.Array] = None
-                 ) -> Dict[str, Any]:
+                 labels: Optional[jax.Array] = None,
+                 stage: str = "full") -> Dict[str, Any]:
         """xin: 3 FPN levels, each (F, h, w, c), frames [local..., global...].
         time_embedding: (F, 256). `labels` (F, G, 5) enables the
         cat_ota_fg train-time proposal injection. Returns a dict of raw +
@@ -268,6 +269,11 @@ class TSCDHead(nn.Module):
             P if self.minimal_limit is None else self.minimal_limit,
             ota_fg=ota_fg)
         out["proposals"] = props
+        if stage == "dense":
+            # profiling cut: towers + decode + proposal selection only
+            # (tools/profile_eval.py measures aggregation/matcher time as
+            # full - dense)
+            return out
 
         # gather per-proposal features (find_feature_score, :976)
         take = jax.vmap(lambda feats, idx: feats[idx])
@@ -282,13 +288,15 @@ class TSCDHead(nn.Module):
                                      dtype=dt, name="agg")(
                 f_cls, f_reg, f_edge, props.cls_conf, props.obj,
                 props.valid, lframe, sim_thresh=self.sim_thresh,
-                ave=self.ave, use_mask=self.use_mask)
+                ave=self.ave, use_mask=self.use_mask,
+                conf_sim_thresh=self.conf_sim_thresh)
         else:
             agg_cls, _ = MCAg2l(4 * hidden, self.heads, reconf=False,
                                 dtype=dt, name="agg")(
                 f_cls, f_reg, props.cls_conf, props.obj, props.valid,
                 lframe, sim_thresh=self.sim_thresh, ave=self.ave,
-                use_mask=self.use_mask)
+                use_mask=self.use_mask,
+                conf_sim_thresh=self.conf_sim_thresh)
 
         if self.decouple_reg:
             if self.agg_type == "mca_aware":
@@ -298,14 +306,16 @@ class TSCDHead(nn.Module):
                     name="agg_iou")(
                     f_cls, f_reg, f_edge, props.cls_conf, props.obj,
                     props.valid, lframe, sim_thresh=self.sim_thresh,
-                    ave=self.ave, use_mask=self.use_mask)
+                    ave=self.ave, use_mask=self.use_mask,
+                    conf_sim_thresh=self.conf_sim_thresh)
             else:
                 agg_iou_cls, agg_obj = MCAg2l(
                     4 * hidden, self.heads, reconf=True, dtype=dt,
                     name="agg_iou")(
                     f_cls, f_reg, props.cls_conf, props.obj, props.valid,
                     lframe, sim_thresh=self.sim_thresh, ave=self.ave,
-                    use_mask=self.use_mask)
+                    use_mask=self.use_mask,
+                    conf_sim_thresh=self.conf_sim_thresh)
 
             if matcher_state is None:
                 matcher_state = init_matcher_state(P, hidden, 4 * hidden,

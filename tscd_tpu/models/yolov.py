@@ -56,6 +56,7 @@ class YOLOVPlus(nn.Module):
     decouple_reg: bool = True
     agg_type: str = "mca"
     sim_thresh: float = 0.75
+    conf_sim_thresh: float = 0.99
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -67,7 +68,8 @@ class YOLOVPlus(nn.Module):
             depthwise=self.depthwise, heads=self.heads,
             num_proposals=self.num_proposals, reconf=self.reconf,
             decouple_reg=self.decouple_reg, agg_type=self.agg_type,
-            sim_thresh=self.sim_thresh, dtype=self.dtype)
+            sim_thresh=self.sim_thresh,
+            conf_sim_thresh=self.conf_sim_thresh, dtype=self.dtype)
 
     def __call__(self, x: jax.Array, lframe: int, gframe: int,
                  time_embedding: Optional[jax.Array] = None,

@@ -386,6 +386,7 @@ class YOLOVHead(nn.Module):
     use_pre_nms: bool = True
     reconf: bool = False
     use_score: bool = True           # yolovp_msa.py:322
+    conf_sim_thresh: float = 0.99    # obj-branch round-2 sim threshold
     test_conf: float = 0.001
     dtype: Any = jnp.float32
 
@@ -422,7 +423,8 @@ class YOLOVHead(nn.Module):
             4 * hidden, self.heads, reconf=self.reconf, dtype=self.dtype,
             name="agg")(f_cls, f_reg, flat_cs, flat_fs, flat_valid,
                         sim_thresh=self.sim_thresh, ave=self.ave,
-                        use_mask=self.use_mask)
+                        use_mask=self.use_mask,
+                        conf_sim_thresh=self.conf_sim_thresh)
 
         F = props.boxes.shape[0]
         out: Dict[str, Any] = {
@@ -460,6 +462,7 @@ class YOLOVPlusHead(nn.Module):
     decouple_reg: bool = True
     agg_type: str = "mca"            # 'mca' | 'msa' | 'localagg'
     use_score: bool = True           # score-guide the aggregation
+    conf_sim_thresh: float = 0.99    # obj-branch round-2 sim threshold
     test_conf: float = 0.001
     # localagg options (v_plus_base.py:76-110)
     local_blocks: int = 1
@@ -535,7 +538,8 @@ class YOLOVPlusHead(nn.Module):
                 f_cls.reshape(-1, hidden), f_reg.reshape(-1, hidden),
                 cs.reshape(-1), fs.reshape(-1),
                 props.valid.reshape(-1), sim_thresh=self.sim_thresh,
-                ave=self.ave, use_mask=self.use_mask)
+                ave=self.ave, use_mask=self.use_mask,
+                conf_sim_thresh=self.conf_sim_thresh)
             F = props.boxes.shape[0]
             agg_cls = agg_cls.reshape(F, P, -1)[:L]
             agg_obj = (agg_obj.reshape(F, P, -1)[:L]
@@ -545,14 +549,16 @@ class YOLOVPlusHead(nn.Module):
                                 dtype=self.dtype, name="agg")(
                 f_cls, f_reg, cs, fs, props.valid, L,
                 sim_thresh=self.sim_thresh, ave=self.ave,
-                use_mask=self.use_mask)
+                use_mask=self.use_mask,
+                conf_sim_thresh=self.conf_sim_thresh)
             agg_obj = None
             if self.decouple_reg:
                 _, agg_obj = MCAg2l(4 * hidden, self.heads, reconf=True,
                                     dtype=self.dtype, name="agg_iou")(
                     f_cls, f_reg, cs, fs, props.valid,
                     L, sim_thresh=self.sim_thresh, ave=self.ave,
-                    use_mask=self.use_mask)
+                    use_mask=self.use_mask,
+                    conf_sim_thresh=self.conf_sim_thresh)
 
         out["refined_cls_logits"] = nn.Dense(
             C, dtype=self.dtype, name="cls_pred")(agg_cls)

@@ -59,6 +59,33 @@ def generalized_box_iou(a: jax.Array, b: jax.Array, eps: float = 1e-16) -> jax.A
     return iou - (area_c - union) / (area_c + eps)
 
 
+def ciou_xyxy(pred: jax.Array, target: jax.Array,
+              eps: float = 1e-7) -> jax.Array:
+    """Elementwise Complete-IoU on aligned xyxy boxes (..., 4) -> (...,).
+
+    IoU - center-distance/enclosing-diagonal - aspect-ratio consistency
+    (the box loss the DFL head is trained with; see ops/tal.py header)."""
+    px1, py1, px2, py2 = (pred[..., i] for i in range(4))
+    tx1, ty1, tx2, ty2 = (target[..., i] for i in range(4))
+    pw, ph = px2 - px1, py2 - py1
+    tw, th = tx2 - tx1, ty2 - ty1
+    inter = (jnp.clip(jnp.minimum(px2, tx2) - jnp.maximum(px1, tx1), 0.0)
+             * jnp.clip(jnp.minimum(py2, ty2) - jnp.maximum(py1, ty1), 0.0))
+    union = pw * ph + tw * th - inter + eps
+    iou = inter / union
+    cw = jnp.maximum(px2, tx2) - jnp.minimum(px1, tx1)
+    ch = jnp.maximum(py2, ty2) - jnp.minimum(py1, ty1)
+    c2 = cw * cw + ch * ch + eps
+    rho2 = (((px1 + px2 - tx1 - tx2) ** 2
+             + (py1 + py2 - ty1 - ty2) ** 2) / 4.0)
+    v = (4.0 / (jnp.pi ** 2)) * jnp.square(
+        jnp.arctan(tw / jnp.maximum(th, eps))
+        - jnp.arctan(pw / jnp.maximum(ph, eps)))
+    alpha = v / (v - iou + (1.0 + eps))
+    alpha = jax.lax.stop_gradient(alpha)
+    return iou - (rho2 / c2 + v * alpha)
+
+
 def iou_loss_cxcywh(pred: jax.Array, target: jax.Array,
                     loss_type: str = "iou", eps: float = 1e-16) -> jax.Array:
     """Elementwise IoU loss on aligned cxcywh boxes

@@ -40,3 +40,21 @@ def test_masked_assignment_valid_to_valid():
     sub_rows, sub_cols = scipy_lsa(c[:5, :5])
     np.testing.assert_allclose(c[np.arange(5), ours[:5]].sum(),
                                c[sub_rows, sub_cols].sum(), rtol=1e-5)
+
+
+def test_pallas_kernel_matches_xla_and_scipy():
+    """ops/pallas/hungarian.py (interpret mode on CPU) must be
+    bit-identical to the XLA lowering and optimal vs scipy."""
+    from tscd_tpu.ops.pallas.hungarian import linear_sum_assignment_pallas
+    rng = np.random.default_rng(3)
+    for n in (3, 8, 50, 128):
+        c = (rng.normal(size=(n, n)).astype(np.float32)
+             * rng.uniform(0.5, 20))
+        got = np.asarray(linear_sum_assignment_pallas(
+            jnp.asarray(c), interpret=True))
+        assert np.array_equal(
+            got, np.asarray(linear_sum_assignment(jnp.asarray(c))))
+        rows, cols = scipy_lsa(c)
+        np.testing.assert_allclose(c[np.arange(n), got].sum(),
+                                   c[rows, cols].sum(), rtol=1e-5)
+        assert len(set(got.tolist())) == n

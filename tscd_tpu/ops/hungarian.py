@@ -56,9 +56,17 @@ def _augmenting_path_step(cost, u, v, row4col, cur_row):
 
 def linear_sum_assignment(cost: jax.Array) -> jax.Array:
     """Square cost matrix (n, n) float32 -> col4row (n,) int32 giving the
-    optimal column for each row. Matches scipy for unique optima."""
+    optimal column for each row. Matches scipy for unique optima.
+
+    On TPU with n <= 128 this dispatches to the single-kernel pallas
+    implementation (ops/pallas/hungarian.py) — bit-identical results,
+    ~10x faster and seconds instead of minutes of compile time. The XLA
+    while_loop lowering below is the portable fallback."""
     cost = cost.astype(jnp.float32)
     n = cost.shape[0]
+    if n <= 128 and jax.default_backend() == "tpu":
+        from .pallas.hungarian import linear_sum_assignment_pallas
+        return linear_sum_assignment_pallas(cost)
 
     def insert_row(carry, cur_row):
         u, v, row4col, col4row = carry

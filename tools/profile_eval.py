@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--size", type=int, default=576)
     ap.add_argument("--cast-bf16", action="store_true",
                     help="pre-cast params to bf16 (skip per-step casts)")
+    ap.add_argument("--sparse", action="store_true",
+                    help="proposal-patch vid towers (sparse_vid_towers)")
     args = ap.parse_args()
 
     from tscd_tpu.models.matching import init_matcher_state
@@ -43,7 +45,7 @@ def main():
     F, H, W = args.f, args.size, args.size
     P = 50
     model = TSCD(num_classes=30, depth=1.0, width=1.0, num_proposals=P,
-                 heads=4, dtype=jnp.bfloat16)
+                 heads=4, sparse_vid_towers=args.sparse, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(0, 255, (F, H, W, 3)), jnp.float32)
@@ -87,6 +89,7 @@ def main():
 
     report = {
         "frames": F, "size": args.size, "cast_bf16": args.cast_bf16,
+        "sparse": args.sparse,
         "backbone_ms": round(ms["backbone"], 2),
         "towers_decode_select_ms": round(ms["dense"] - ms["backbone"], 2),
         "agg_matcher_refine_ms": round(ms["full"] - ms["dense"], 2),

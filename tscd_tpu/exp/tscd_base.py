@@ -51,6 +51,10 @@ class Exp(YoloxExp):
         self.decouple_reg = True
         self.vid_cls = True
         self.vid_reg = True
+        # eval-time proposal-patch vid towers (models/sparse_towers.py):
+        # exact-equal fast path (tests/test_sparse_towers.py); valid
+        # whenever BN runs in running-average mode (eval, or fix_bn)
+        self.sparse_vid_towers = False
         self.reconf = True
         self.ota_mode = True
         self.cat_ota_fg = False
@@ -95,7 +99,8 @@ class Exp(YoloxExp):
                     reconf=self.reconf, decouple_reg=self.decouple_reg,
                     use_pre_nms=self.use_pre_nms,
                     sim_thresh=self.sim_thresh,
-                    conf_sim_thresh=self.conf_sim_thresh, test_conf=0.001)
+                    conf_sim_thresh=self.conf_sim_thresh, test_conf=0.001,
+                    sparse_vid_towers=self.sparse_vid_towers)
 
     def freeze_prefixes(self):
         """Parameter-path prefixes frozen during TSCD stage-2 training

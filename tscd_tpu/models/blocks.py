@@ -48,8 +48,13 @@ class BaseConv(nn.Module):
     use_bias: bool = False  # True only after BN folding
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        pad = (self.ksize - 1) // 2
+    def __call__(self, x: jax.Array, train: bool = False,
+                 valid: bool = False) -> jax.Array:
+        """`valid=True` runs the SAME parameters with VALID padding —
+        used by the sparse proposal-patch tower path (models/
+        sparse_towers.py), where 'same' zero-padding semantics are
+        reproduced by masking out-of-map patch positions instead."""
+        pad = 0 if valid else (self.ksize - 1) // 2
         x = nn.Conv(
             features=self.out_channels,
             kernel_size=(self.ksize, self.ksize),
@@ -83,10 +88,11 @@ class DWConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 valid: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
         x = BaseConv(in_ch, self.ksize, self.stride, groups=in_ch, act=self.act,
-                     dtype=self.dtype, name="dconv")(x, train)
+                     dtype=self.dtype, name="dconv")(x, train, valid=valid)
         x = BaseConv(self.out_channels, 1, 1, act=self.act, dtype=self.dtype,
                      name="pconv")(x, train)
         return x

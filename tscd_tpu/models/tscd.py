@@ -36,6 +36,7 @@ class TSCD(nn.Module):
     sim_thresh: float = 0.75
     conf_sim_thresh: float = 0.99
     test_conf: float = 0.001
+    sparse_vid_towers: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -53,6 +54,7 @@ class TSCD(nn.Module):
             sim_thresh=self.sim_thresh,
             conf_sim_thresh=self.conf_sim_thresh,
             test_conf=self.test_conf,
+            sparse_vid_towers=self.sparse_vid_towers,
             dtype=self.dtype)
 
     def __call__(self, x: jax.Array, time_embedding: jax.Array,

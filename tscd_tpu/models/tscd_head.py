@@ -164,6 +164,7 @@ class TSCDHead(nn.Module):
     decouple_reg: bool = True
     vid_cls: bool = True
     vid_reg: bool = True
+    sparse_vid_towers: bool = False  # eval-time proposal-patch towers
     prior_prob: float = 1e-2
     dtype: Any = jnp.float32
 
@@ -187,12 +188,27 @@ class TSCDHead(nn.Module):
         C = self.num_classes
         P = self.num_proposals
 
+        # eval-only fast path: the vid towers + edge block are computed on
+        # proposal patches (models/sparse_towers.py) instead of full maps
+        # (>99% of dense tower outputs are never gathered). Exact-equal by
+        # construction; BN must be in running-average mode.
+        use_sparse = (self.sparse_vid_towers and not train
+                      and self.vid_cls and self.vid_reg)
+        # the edge features are consumed for ALL frames only by the
+        # edge-aware aggregator; the default 'mca' path reads them for
+        # the local frames alone (RegMatcher) — skip the global frames
+        edge_all_frames = self.agg_type == "mca_aware"
+
         level_outputs, hw = [], []
+        stem_feats = []
         cls_vid_feats, reg_vid_feats, edge_feats = [], [], []
+        cls_tower_mods, reg_tower_mods, edge_mods = [], [], []
+        F_all = xin[0].shape[0]
         for k, x in enumerate(xin):
             hw.append((x.shape[1], x.shape[2]))
             x = BaseConv(hidden, 1, 1, act=self.act, dtype=dt,
                          name=f"stem_{k}")(x, train)
+            stem_feats.append(x)
             cls_f = x
             reg_f = x
             for i in range(2):
@@ -209,29 +225,39 @@ class TSCDHead(nn.Module):
                 jnp.concatenate([reg_out, obj_out, cls_out], -1))
 
             # extra video towers (tscd_head.py:240-281)
-            if self.vid_cls:
-                v = x
-                for i in range(2):
-                    v = Conv(hidden, 3, 1, act=self.act, dtype=dt,
-                             name=f"cls_conv2_{k}_{i}")(v, train)
-                cls_vid_feats.append(v)
-            else:
-                cls_vid_feats.append(cls_f)
-            if self.vid_reg:
-                vr = x
-                for i in range(2):
-                    vr = Conv(hidden, 3, 1, act=self.act, dtype=dt,
-                              name=f"reg_conv2_{k}_{i}")(vr, train)
-                reg_vid_feats.append(vr)
-            else:
-                reg_vid_feats.append(reg_f)
-            edge_feats.append(WaveletsHFBlock(dtype=dt,
-                                              name=f"edge_{k}")(reg_vid_feats[-1]))
+            cls_tower_mods.append(
+                [Conv(hidden, 3, 1, act=self.act, dtype=dt,
+                      name=f"cls_conv2_{k}_{i}") for i in range(2)]
+                if self.vid_cls else None)
+            reg_tower_mods.append(
+                [Conv(hidden, 3, 1, act=self.act, dtype=dt,
+                      name=f"reg_conv2_{k}_{i}") for i in range(2)]
+                if self.vid_reg else None)
+            edge_mods.append(WaveletsHFBlock(dtype=dt, name=f"edge_{k}"))
+            if not use_sparse:
+                if self.vid_cls:
+                    v = x
+                    for m in cls_tower_mods[-1]:
+                        v = m(v, train)
+                    cls_vid_feats.append(v)
+                else:
+                    cls_vid_feats.append(cls_f)
+                if self.vid_reg:
+                    vr = x
+                    for m in reg_tower_mods[-1]:
+                        vr = m(vr, train)
+                    reg_vid_feats.append(vr)
+                else:
+                    reg_vid_feats.append(reg_f)
+                esrc = (reg_vid_feats[-1] if edge_all_frames
+                        else reg_vid_feats[-1][:lframe])
+                edge_feats.append(edge_mods[-1](esrc))
 
         raw_outputs = flatten_levels(level_outputs)       # (F, A, 5+C)
-        cls_feat = flatten_levels(cls_vid_feats)          # (F, A, hid)
-        reg_feat = flatten_levels(reg_vid_feats)
-        edge_feat = flatten_levels(edge_feats)
+        if not use_sparse:
+            cls_feat = flatten_levels(cls_vid_feats)      # (F, A, hid)
+            reg_feat = flatten_levels(reg_vid_feats)
+            edge_feat = flatten_levels(edge_feats)        # (F|L, A, hid)
 
         raw32 = raw_outputs.astype(jnp.float32)
         dec = decode_outputs(raw32, hw, self.strides)
@@ -276,10 +302,18 @@ class TSCDHead(nn.Module):
             return out
 
         # gather per-proposal features (find_feature_score, :976)
-        take = jax.vmap(lambda feats, idx: feats[idx])
-        f_cls = take(cls_feat, props.idx)                 # (F, P, hid)
-        f_reg = take(reg_feat, props.idx)
-        f_edge = take(edge_feat, props.idx)
+        if use_sparse:
+            from .sparse_towers import sparse_vid_tower_features
+            f_cls, f_reg, f_edge = sparse_vid_tower_features(
+                stem_feats, hw, props.idx, cls_tower_mods, reg_tower_mods,
+                edge_mods, lframe, edge_all_frames, train)
+        else:
+            take = jax.vmap(lambda feats, idx: feats[idx])
+            f_cls = take(cls_feat, props.idx)             # (F, P, hid)
+            f_reg = take(reg_feat, props.idx)
+            f_edge = take(edge_feat,                      # (F|L, P, hid)
+                          props.idx if edge_all_frames
+                          else props.idx[:lframe])
 
         # cross-frame aggregation: cls branch (:480) and reg branch (:491)
         if self.agg_type == "mca_aware":

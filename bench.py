@@ -80,13 +80,44 @@ def main():
         st = r[-1]
     force(r)
     dt = time.perf_counter() - t0
-
     fps = F * iters / dt
+
+    # per-stage ms (VERDICT r1 item 4): static cuts of the same forward,
+    # timed with fewer iters — the stage programs hit the compile cache
+    # after the first round
+    stages = {}
+    try:
+        stage_fns = {
+            "backbone": jax.jit(lambda v, x, te, st: model.apply(
+                v, x, te, L, G, False, st, stage="backbone")),
+            "dense": jax.jit(lambda v, x, te, st: model.apply(
+                v, x, te, L, G, False, st, stage="dense")["proposals"]),
+        }
+        ms = {}
+        for name, fn in stage_fns.items():
+            rr = fn(variables, x, te, state0)
+            force(rr)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                rr = fn(variables, x, te, state0)
+            force(rr)
+            ms[name] = (time.perf_counter() - t0) * 1000.0 / 5
+        full_ms = dt * 1000.0 / iters
+        stages = {
+            "backbone_ms": round(ms["backbone"], 2),
+            "towers_decode_select_ms": round(ms["dense"] - ms["backbone"], 2),
+            "agg_matcher_refine_ms": round(full_ms - ms["dense"], 2),
+            "full_ms": round(full_ms, 2),
+        }
+    except Exception:
+        pass  # stage breakdown is best-effort; the headline metric stands
+
     print(json.dumps({
         "metric": "tscd_large_576_eval_fps",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "stages_ms": stages,
     }))
 
 

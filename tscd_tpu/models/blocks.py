@@ -19,6 +19,7 @@ from typing import Any, Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -194,19 +195,127 @@ def space_to_depth_focus(x: jax.Array) -> jax.Array:
     """(B,H,W,C) -> (B,H/2,W/2,4C) with the reference's channel order
     (top-left, bottom-left, top-right, bottom-right; network_blocks.py:274-289).
 
-    Reshape/transpose lowering, NOT multi-axis strided slices — the
-    latter kernel-fault the axon TPU worker at large batch x channel
-    shapes (see ops/wavelets.py).
+    Lowered as ONE one-hot 2x2 stride-2 conv (exact: 0/1 taps). The
+    reshape/transpose formulation is pathological on the TPU for the
+    3-channel fp32 input — the innermost (2,2,3) transpose packs
+    sublanes at ~1% utilization and took 15.8 ms of the 32 ms
+    TSCD-Large backbone (tools/profile_backbone.py); the conv
+    formulation rides the MXU like the Haar DWT fix (ops/wavelets.py).
+    Multi-axis strided slices are also out: they kernel-fault the axon
+    TPU worker at large batch x channel shapes.
     """
     B, H, W, C = x.shape
-    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    x = x.transpose(0, 1, 3, 4, 2, 5)        # (B, H/2, W/2, w2, h2, C)
     # phase order [(h0,w0), (h1,w0), (h0,w1), (h1,w1)] = tl, bl, tr, br
-    return x.reshape(B, H // 2, W // 2, 4 * C)
+    # -> output channel (dx*2 + dy)*C + c
+    k = np.zeros((2, 2, C, 4 * C), np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            for c in range(C):
+                k[dy, dx, c, (dx * 2 + dy) * C + c] = 1.0
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(k, x.dtype), window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class _FocusKernel(nn.Module):
+    """Holds the (k, k, 4C, out) conv kernel at the same param path as
+    BaseConv's nn.Conv ('conv/kernel') so checkpoints interchange."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+class _BNStats(nn.Module):
+    """Declares the same variable tree as nn.BatchNorm (params
+    scale/bias, batch_stats mean/var) without running it — the eval
+    Focus paths fold BN into the conv instead."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.ch,))
+        bias = self.param("bias", nn.initializers.zeros, (self.ch,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.ch,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.ch,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class _FocusConv(nn.Module):
+    """BaseConv stand-in for the Focus stem: identical param tree
+    (conv/kernel + bn/*) but the conv consumes the FULL-resolution image
+    with the kernel rearranged to (2k, 2k, C, out), stride doubled.
+    At eval on TPU the whole stem (conv + folded BN + SiLU) runs as one
+    Pallas kernel (ops/pallas/focus_stem.py)."""
+
+    out_channels: int
+    ksize: int
+    stride: int
+    act: str
+    dtype: Dtype
+
+    def _conv6(self, x, w3, C):
+        k = self.ksize
+        # s2d channel order is (dx*2+dy)*C + c (space_to_depth_focus):
+        # (k,k,4C,O) -> (u,v,dx,dy,c,O) -> (u,dy,v,dx,c,O) -> (2k,2k,C,O)
+        w6 = w3.reshape(k, k, 2, 2, C, self.out_channels)
+        w6 = w6.transpose(0, 3, 1, 2, 4, 5).reshape(
+            2 * k, 2 * k, C, self.out_channels)
+        pad = k - 1
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w6.astype(self.dtype),
+            window_strides=(2 * self.stride, 2 * self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        B, H, W, C = x.shape
+        k = self.ksize
+        assert k % 2 == 1, "Focus fused conv assumes odd ksize"
+        w3 = _FocusKernel((k, k, 4 * C, self.out_channels), name="conv")()
+        if train:
+            y = self._conv6(x, w3, C)
+            y = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="bn")(y)
+            return get_activation(self.act)(y.astype(self.dtype))
+
+        # eval: fold BN into scale/shift (same tree as nn.BatchNorm)
+        gamma, beta, mean, var = _BNStats(self.out_channels, name="bn")()
+        scale = gamma / jnp.sqrt(var + 1e-5)
+        shift = beta - mean * scale
+
+        from ..ops.pallas import focus_stem
+        if (jax.default_backend() == "tpu"
+                and focus_stem.supported(H, W, C, k, self.stride,
+                                         self.act)):
+            return focus_stem.focus_stem(x, w3, scale, shift, self.dtype)
+        y = self._conv6(x, w3, C).astype(jnp.float32)
+        y = y * scale[None, None, None] + shift[None, None, None]
+        return get_activation(self.act)(y.astype(self.dtype))
 
 
 class Focus(nn.Module):
-    """Space-to-depth stem (network_blocks.py:267)."""
+    """Space-to-depth stem (network_blocks.py:267).
+
+    TPU lowering: s2d followed by a k x k conv on the half-res grid is
+    algebraically ONE 2k x 2k stride-2(s) conv on the full-res image
+    (out[i,j] sums X[2si+2(u-(k-1)/2)+dy, ...] = taps -(k-1)..k), so the
+    (k,k,4C,out) kernel is rearranged to (2k,2k,C,out) at apply time and
+    a single conv runs. Both the reshape/transpose s2d and a separate
+    small-channel conv are pathological on the axon TPU (the split stem
+    measured 14.5 ms of the 31 ms TSCD-Large backbone at <2% MXU —
+    tools/profile_backbone.py); the fused conv keeps the image read to
+    one pass. Param tree and math (mod float reassociation) are
+    unchanged: conv/conv/kernel stays (k,k,4C,out), BN/act follow as in
+    BaseConv (torch parity: tests/test_torch_parity.py)."""
 
     out_channels: int
     ksize: int = 1
@@ -216,9 +325,8 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = space_to_depth_focus(x)
-        return BaseConv(self.out_channels, self.ksize, self.stride,
-                        act=self.act, dtype=self.dtype, name="conv")(x, train)
+        return _FocusConv(self.out_channels, self.ksize, self.stride,
+                          self.act, self.dtype, name="conv")(x, train)
 
 
 class ResNetBottleneck(nn.Module):

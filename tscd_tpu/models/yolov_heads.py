@@ -540,6 +540,19 @@ class YOLOVPlusHead(nn.Module):
                 props.valid.reshape(-1), sim_thresh=self.sim_thresh,
                 ave=self.ave, use_mask=self.use_mask,
                 conf_sim_thresh=self.conf_sim_thresh)
+            if self.decouple_reg:
+                # decoupled obj branch: a SECOND reconf aggregator over
+                # the raw gathered features supplies the obj features
+                # (v_plus_head.py:418-421 overrides features_reg with
+                # agg_iou's output)
+                _, agg_obj = MSAYolov(
+                    4 * hidden, self.heads, reconf=True, dtype=self.dtype,
+                    name="agg_iou")(
+                    f_cls.reshape(-1, hidden), f_reg.reshape(-1, hidden),
+                    cs.reshape(-1), fs.reshape(-1),
+                    props.valid.reshape(-1), sim_thresh=self.sim_thresh,
+                    ave=self.ave, use_mask=self.use_mask,
+                    conf_sim_thresh=self.conf_sim_thresh)
             F = props.boxes.shape[0]
             agg_cls = agg_cls.reshape(F, P, -1)[:L]
             agg_obj = (agg_obj.reshape(F, P, -1)[:L]

@@ -55,6 +55,9 @@ class Exp(YoloxExp):
         # exact-equal fast path (tests/test_sparse_towers.py); valid
         # whenever BN runs in running-average mode (eval, or fix_bn)
         self.sparse_vid_towers = False
+        # jax.checkpoint over the backbone: ~1 extra backward-pass
+        # forward buys the window's activation memory (longer F)
+        self.remat_backbone = False
         self.reconf = True
         self.ota_mode = True
         self.cat_ota_fg = False
@@ -100,7 +103,8 @@ class Exp(YoloxExp):
                     use_pre_nms=self.use_pre_nms,
                     sim_thresh=self.sim_thresh,
                     conf_sim_thresh=self.conf_sim_thresh, test_conf=0.001,
-                    sparse_vid_towers=self.sparse_vid_towers)
+                    sparse_vid_towers=self.sparse_vid_towers,
+                    remat_backbone=self.remat_backbone)
 
     def freeze_prefixes(self):
         """Parameter-path prefixes frozen during TSCD stage-2 training

@@ -37,11 +37,21 @@ class TSCD(nn.Module):
     conf_sim_thresh: float = 0.99
     test_conf: float = 0.001
     sparse_vid_towers: bool = False
+    # rematerialize backbone activations in the backward pass
+    # (jax.checkpoint): trades ~1 extra backbone forward for the
+    # activation memory of the full frame window — enables longer
+    # training windows (e.g. F=16 at 576px) on one chip
+    remat_backbone: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = YOLOPAFPN(self.depth, self.width, act=self.act,
-                                  depthwise=self.depthwise, dtype=self.dtype)
+        # static_argnums: (module, x, train) — `train` must stay a
+        # Python bool through the checkpoint wrapper
+        backbone_cls = (nn.remat(YOLOPAFPN, static_argnums=(2,))
+                        if self.remat_backbone else YOLOPAFPN)
+        self.backbone = backbone_cls(self.depth, self.width, act=self.act,
+                                     depthwise=self.depthwise,
+                                     dtype=self.dtype)
         self.head = TSCDHead(
             num_classes=self.num_classes, width=self.width, act=self.act,
             depthwise=self.depthwise, heads=self.heads,

@@ -58,3 +58,32 @@ def test_pallas_kernel_matches_xla_and_scipy():
         np.testing.assert_allclose(c[np.arange(n), got].sum(),
                                    c[rows, cols].sum(), rtol=1e-5)
         assert len(set(got.tolist())) == n
+
+
+def test_assignment_is_grad_transparent():
+    """jax.grad through a matched loss must work: the assignment is a
+    discrete (stop_gradient'ed) decision, but gradients flow through the
+    costs gathered AT the assignment — the TSCD matched losses depend on
+    this (and the pallas kernel cannot be linearized at all without the
+    stop; caught on TPU in round 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tscd_tpu.ops.hungarian import linear_sum_assignment
+
+    w0 = jnp.asarray(np.random.default_rng(3).normal(size=(5, 5)),
+                     jnp.float32)
+
+    def loss(w):
+        cost = w * w + 0.1 * w
+        perm = linear_sum_assignment(cost)
+        return jnp.sum(cost[jnp.arange(5), perm])
+
+    g = jax.grad(loss)(w0)
+    assert np.isfinite(np.asarray(g)).all()
+    # gradient equals d(cost)/dw at the assigned entries only
+    perm = np.asarray(linear_sum_assignment(w0 * w0 + 0.1 * w0))
+    manual = np.zeros((5, 5), np.float32)
+    manual[np.arange(5), perm] = np.asarray(2 * w0 + 0.1)[
+        np.arange(5), perm]
+    np.testing.assert_allclose(np.asarray(g), manual, rtol=1e-5)

@@ -61,8 +61,14 @@ def linear_sum_assignment(cost: jax.Array) -> jax.Array:
     On TPU with n <= 128 this dispatches to the single-kernel pallas
     implementation (ops/pallas/hungarian.py) — bit-identical results,
     ~10x faster and seconds instead of minutes of compile time. The XLA
-    while_loop lowering below is the portable fallback."""
-    cost = cost.astype(jnp.float32)
+    while_loop lowering below is the portable fallback.
+
+    The cost is stop_gradient'ed: the assignment is a discrete decision
+    with no cotangent (the reference runs scipy on a detached tensor,
+    tscd_matching.py:903-908), and a pallas_call cannot be linearized
+    even for integer outputs — without the stop, TPU training through
+    the matcher fails in jax.grad."""
+    cost = jax.lax.stop_gradient(cost).astype(jnp.float32)
     n = cost.shape[0]
     if n <= 128 and jax.default_backend() == "tpu":
         from .pallas.hungarian import linear_sum_assignment_pallas

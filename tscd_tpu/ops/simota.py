@@ -116,9 +116,14 @@ def simota_assign(bbox_preds: jax.Array, obj_logits: jax.Array,
     dynamic_ks = jnp.maximum(jnp.sum(topk_ious, -1).astype(jnp.int32), 1)
     dynamic_ks = jnp.where(gt_valid, dynamic_ks, 0)        # (G,)
 
-    # per gt: mark dynamic_k lowest-cost anchors
+    # per gt: mark dynamic_k lowest-cost anchors. The reference builds
+    # its cost matrix over candidate columns only (yolo_head.py:480-520),
+    # so a gt can never match a non-candidate anchor even when its
+    # dynamic_k exceeds its own candidate count — reproduce that by
+    # masking the top-k picks to candidate columns.
     neg_cost_topk, topk_idx = jax.lax.top_k(-cost, n_cand_k)  # (G, 10)
-    rank_ok = (jnp.arange(n_cand_k)[None, :] < dynamic_ks[:, None])
+    rank_ok = ((jnp.arange(n_cand_k)[None, :] < dynamic_ks[:, None])
+               & fg_cand[topk_idx])
     matching = jnp.zeros((G, A), bool)
     g_idx = jnp.broadcast_to(jnp.arange(G)[:, None], (G, n_cand_k))
     matching = matching.at[g_idx.ravel(), topk_idx.ravel()].max(rank_ok.ravel())

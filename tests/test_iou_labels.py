@@ -1,4 +1,10 @@
-"""ota_mode=False (IoU-based refined label) semantics tests."""
+"""ota_mode=False (IoU-based refined label) semantics tests.
+
+The candidate columns are the frame's SimOTA fg anchors' matched gt
+boxes (reference get_iou_based_label, tscd_head.py:1873) — see
+iou_based_refined_targets' docstring for the exact semantics; torch
+parity lives in test_torch_parity_train.py::test_iou_based_label_parity.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -7,30 +13,69 @@ import numpy as np
 from tscd_tpu.train.losses import iou_based_refined_targets, tscd_loss
 
 
+def _ota(rows):
+    """rows: list of (gt_box cxcywh, pred_iou, cls_id or None-for-bg)."""
+    A = len(rows)
+    C = 5
+    reg = np.zeros((A, 4), np.float32)
+    cls = np.zeros((A, C), np.float32)
+    fg = np.zeros(A, bool)
+    for a, (box, iou, cid) in enumerate(rows):
+        reg[a] = box
+        if cid is not None:
+            fg[a] = True
+            cls[a, cid] = iou
+    return jnp.asarray(reg), jnp.asarray(cls), jnp.asarray(fg)
+
+
 def test_fg_bg_ignore_buckets_and_reg_target():
     props = jnp.asarray([[10, 10, 50, 50],      # IoU 1.0 -> fg
                          [200, 200, 240, 240],  # IoU 0   -> bg
                          [10, 10, 50, 33]],     # IoU ~0.57 -> ignore
                         jnp.float32)
-    gt = jnp.asarray([[30, 30, 40, 40]], jnp.float32)   # cxcywh
+    # one fg anchor matched to the gt (class 2, pred-iou 0.8)
+    reg, cls, fgm = _ota([([30, 30, 40, 40], 0.8, 2),
+                          ([0, 0, 1, 1], 0.0, None)])
     fg, ignore, cls_t, reg_t = iou_based_refined_targets(
-        props, jnp.ones(3, bool), gt, jnp.asarray([2]),
-        jnp.ones(1, bool), 5)
+        props, jnp.ones(3, bool), reg, cls, fgm)
     assert list(np.asarray(fg)) == [True, False, False]
     assert list(np.asarray(ignore)) == [False, False, True]
     assert float(cls_t[0, 2]) > 0.99 and float(cls_t[1].sum()) == 0
-    # reg target is the best-IoU gt box, not an anchor gather
     np.testing.assert_allclose(np.asarray(reg_t[0]), [30, 30, 40, 40])
 
 
-def test_invalid_proposals_and_gts_excluded():
+def test_invalid_proposals_never_fg():
     props = jnp.asarray([[10, 10, 50, 50], [10, 10, 50, 50]], jnp.float32)
-    gt = jnp.asarray([[30, 30, 40, 40], [30, 30, 40, 40]], jnp.float32)
+    reg, cls, fgm = _ota([([30, 30, 40, 40], 0.9, 1)])
     fg, ignore, cls_t, _ = iou_based_refined_targets(
-        props, jnp.asarray([True, False]), gt, jnp.asarray([1, 3]),
-        jnp.asarray([True, False]), 5)
-    assert bool(fg[0]) and not bool(fg[1])       # invalid slot never fg
-    assert float(cls_t[0, 1]) > 0.99             # matched the VALID gt
+        props, jnp.asarray([True, False]), reg, cls, fgm)
+    assert bool(fg[0]) and not bool(fg[1])
+    assert float(cls_t[0, 1]) > 0.99
+
+
+def test_gt_without_fg_anchor_is_invisible():
+    """A gt whose SimOTA assignment produced no fg anchors cannot
+    supervise any proposal (tscd_head.py:1873 gathers only fg rows)."""
+    props = jnp.asarray([[10, 10, 50, 50]], jnp.float32)
+    reg, cls, fgm = _ota([([30, 30, 40, 40], 0.9, 1)])
+    fgm = jnp.zeros_like(fgm)  # drop the anchor
+    fg, ignore, cls_t, _ = iou_based_refined_targets(
+        props, jnp.ones(1, bool), reg, cls, fgm)
+    assert not bool(fg[0]) and float(cls_t.sum()) == 0
+
+
+def test_zero_pred_iou_anchor_gives_zero_cls_label():
+    """Reference :1889-1893: the first maximal anchor's iou-weighted
+    one-hot is thresholded >0 — a center-matched anchor with pred-iou 0
+    yields an all-zero cls label while the row stays fg (obj target 1)."""
+    props = jnp.asarray([[10, 10, 50, 50]], jnp.float32)
+    # two anchors share the same matched gt box; the FIRST has pred-iou 0
+    reg, cls, fgm = _ota([([30, 30, 40, 40], 0.0, 1),
+                          ([30, 30, 40, 40], 0.9, 1)])
+    fg, ignore, cls_t, _ = iou_based_refined_targets(
+        props, jnp.ones(1, bool), reg, cls, fgm)
+    assert bool(fg[0])
+    assert float(cls_t.sum()) == 0.0
 
 
 def test_tscd_loss_ota_false_runs_and_differs():

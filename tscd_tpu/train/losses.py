@@ -40,28 +40,46 @@ def smooth_l1(x: jax.Array, beta: float = 1.0) -> jax.Array:
 
 
 def iou_based_refined_targets(prop_boxes: jax.Array, prop_valid: jax.Array,
-                              gt_boxes: jax.Array, gt_classes: jax.Array,
-                              gt_valid: jax.Array, num_classes: int,
+                              ota_reg_target: jax.Array,
+                              ota_cls_target: jax.Array,
+                              ota_fg_mask: jax.Array,
                               fg_iou: float = 0.6, bg_iou: float = 0.3):
     """IoU-based refined labels (reference get_iou_based_label,
-    tscd_head.py:1853 — the ota_mode=False alternative): a proposal is
-    foreground iff its IoU with some gt >= fg_iou (label = that gt's
-    class), background if best IoU < bg_iou, IGNORED in between (no obj
-    supervision — the reference's refine_obj_masks exclusion).
+    tscd_head.py:1853-1916 — the ota_mode=False alternative), matching
+    the reference's exact semantics (parity: tests/
+    test_torch_parity_train.py::test_iou_based_label_parity):
 
-    prop_boxes (P, 4) xyxy; gt_boxes (G, 4) cxcywh. Returns
+    The candidate boxes are NOT the raw gt list — they are the frame's
+    SimOTA fg anchors' matched gt boxes (`reg_targets[batch_idx]`,
+    duplicated per anchor; tscd_head.py:1873). Consequences the rewrite
+    preserves:
+      - a gt that received zero fg anchors is invisible to this labeling;
+      - a proposal is fg iff its best IoU against some fg anchor's
+        matched box >= fg_iou, bg if < bg_iou, IGNORED in between (no
+        obj supervision — the refine_obj_masks exclusion);
+      - the class label comes from the FIRST (anchor-order) maximal
+        anchor's iou-weighted one-hot thresholded >0 (:1889-1893) — so
+        it is all-zero when that anchor's SimOTA pred-iou is 0 (matched
+        through the center criterion with no overlap), even though the
+        row stays fg with obj target 1.
+    A frame with zero fg anchors crashes the reference (max over an
+    empty dim); here every proposal of such a frame is background.
+
+    prop_boxes (P, 4) xyxy; ota_* are the per-ANCHOR SimOTA outputs of
+    the same frame ((A, 4) cxcywh, (A, C), (A,) bool). Returns
     (fg (P,), ignore (P,), cls_target (P, C),
-    reg_target (P, 4) cxcywh of the best-IoU gt)."""
+    reg_target (P, 4) cxcywh of the best-matching anchor's gt)."""
     from ..ops.boxes import box_cxcywh_to_xyxy, pairwise_iou_xyxy
-    iou = pairwise_iou_xyxy(prop_boxes, box_cxcywh_to_xyxy(gt_boxes))
-    iou = jnp.where(gt_valid[None, :], iou, 0.0)
+    iou = pairwise_iou_xyxy(prop_boxes,
+                            box_cxcywh_to_xyxy(ota_reg_target))  # (P, A)
+    iou = jnp.where(ota_fg_mask[None, :], iou, 0.0)
     best_iou = jnp.max(iou, axis=1)
-    best_gt = jnp.argmax(iou, axis=1)
+    best_a = jnp.argmax(iou, axis=1)  # first max = reference tie-break
     fg = (best_iou >= fg_iou) & prop_valid
     ignore = (best_iou >= bg_iou) & ~fg
-    cls_target = (jax.nn.one_hot(gt_classes[best_gt], num_classes)
+    cls_target = ((ota_cls_target[best_a] > 0).astype(jnp.float32)
                   * best_iou[:, None] * fg[:, None])
-    reg_target = gt_boxes[best_gt]
+    reg_target = ota_reg_target[best_a]
     return fg, ignore, cls_target, reg_target
 
 
@@ -130,10 +148,10 @@ def tscd_loss(head_out, labels: jax.Array, strides: Sequence[int],
         # target = the best-IoU gt; ignore band gets NO obj supervision;
         # normalize by the IoU-fg count (reference refine_*_masks sums)
         refined_fg, ignore, refined_cls_t, refined_reg_t = jax.vmap(
-            iou_based_refined_targets, in_axes=(0, 0, 0, 0, 0, None))(
+            iou_based_refined_targets)(
             props.boxes[:lframe], props.valid[:lframe],
-            gt_boxes[:lframe], gt_classes[:lframe], gt_valid[:lframe],
-            num_classes)
+            tgt.reg_target[:lframe], tgt.cls_target[:lframe],
+            tgt.fg_mask[:lframe])
         obj_weight = slot_valid * (1.0 - ignore.astype(jnp.float32))
         num_fg_local = jnp.maximum(
             jnp.sum(refined_fg.astype(jnp.float32)), 1.0)

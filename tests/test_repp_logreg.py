@@ -51,10 +51,10 @@ def _make_video(rng, n_frames=30, n_tracks=3, C=5, drift=25.0,
 def _link_accuracy(repp, frames):
     """Fraction of correct (same-track) links produced by
     get_video_pairs."""
-    pairs = repp.get_video_pairs(frames)
+    pairs, _ = repp.get_video_pairs(frames)
     good = total = 0
     for f, link in enumerate(pairs):
-        for i, j in link.items():
+        for i, j in link:
             total += 1
             good += frames[f][i]["_tid"] == frames[f + 1][j]["_tid"]
     return good / max(total, 1), total

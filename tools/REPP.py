@@ -59,24 +59,29 @@ def main():
                 min_pred_score=args.min_pred_score,
                 recoordinate_std=args.recoordinate_std,
                 clf_threshold=args.clf_thr, clf_mode=args.clf_mode,
-                clf_model_path=args.clf_model)
+                clf_model_path=args.clf_model, post=args.post)
 
     coco_out = []
     imdb_out = {}
     for video, frames in preds.items():
         names = sorted(frames.keys())
-        video_dets = [frames[n] for n in names]
-        processed = (repp(video_dets) if args.post else video_dets)
+        # post=False still runs the filter + singleton-tubelet identity
+        # pass like the reference's --post off mode (REPPM.get_pred)
+        processed = repp([frames[n] for n in names])
         imdb_out[video] = dict(zip(names, processed))
         for name, dets in zip(names, processed):
             for d in dets:
-                cls = int(np.argmax(d["scores"]))
-                coco_out.append({
-                    "image_id": d.get("image_id", f"{video}/{name}"),
-                    "category_id": cls + 1,
-                    "bbox": [float(v) for v in d["bbox"]],
-                    "score": float(d["scores"][cls]),
-                })
+                smax = float(np.max(d["scores"])) if len(d["scores"]) \
+                    else 0.0
+                for cls, s in enumerate(np.asarray(d["scores"], float)):
+                    if s < args.min_pred_score or s != smax:
+                        continue
+                    coco_out.append({
+                        "image_id": d.get("image_id", f"{video}/{name}"),
+                        "category_id": cls + 1,
+                        "bbox": [float(v) for v in d["bbox"]],
+                        "score": float(s),
+                    })
     with open(args.out, "w") as f:
         json.dump(coco_out, f)
     print(f"wrote {args.out}: {len(coco_out)} predictions")

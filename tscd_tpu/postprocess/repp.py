@@ -120,10 +120,20 @@ class REPP:
                  recoordinate: bool = True,
                  recoordinate_std: float = 1.0,
                  clf_model_path: Optional[str] = None,
-                 image_size: Sequence[float] = (1.0, 1.0)):
+                 image_size: Sequence[float] = (1.0, 1.0),
+                 add_unmatched: bool = False,
+                 post: bool = True):
         """Defaults mirror tools/yolo_repp_cfg.json (clf_thr 0.7,
         clf_mode 'dot'); no model file -> the baseline IoU-score
-        distance."""
+        distance. Threshold roles match the reference exactly
+        (end-to-end parity: tests/test_repp_parity.py):
+        `min_tubelet_score` filters the INPUT detections (REPPM.py:
+        301-310 — despite its name), `min_pred_score` filters exported
+        predictions (tubelets_to_predictions, :268). `add_unmatched`
+        keeps the reference's inverted sense: FALSE adds unlinked
+        detections back as singleton tubelets (:323-325). `post=False`
+        skips linking entirely (every det becomes its own tubelet —
+        REPPM.get_pred, :155, the `--post` off mode)."""
         self.min_tubelet_score = min_tubelet_score
         self.min_pred_score = min_pred_score
         self.clf_threshold = clf_threshold
@@ -131,6 +141,8 @@ class REPP:
         self.do_recoordinate = recoordinate
         self.recoordinate_std = recoordinate_std
         self.image_size = image_size
+        self.add_unmatched = add_unmatched
+        self.post = post
         self.clf = None
         self.matching_feats = PAIR_FEATURE_ORDER
         if clf_model_path:
@@ -175,71 +187,93 @@ class REPP:
     # -- linking -----------------------------------------------------------
     def get_video_pairs(self, video_dets: List[List[dict]]):
         """For each pair of consecutive frames: greedy min-distance
-        matching (REPPM.py:103,156)."""
-        pairs = []
+        matching (REPPM.py:103,156). Returns (pairs, unmatched): per
+        frame-gap, the matched (i, j) tuples in greedy-discovery order,
+        and the frame-f det indices that are not a link SOURCE (tubelet
+        tails count as unmatched too — reference :128). Note the last
+        frame gets NO unmatched entry (the reference's loop runs gaps
+        0..n-2 only)."""
+        pairs, unmatched = [], []
         for f in range(len(video_dets) - 1):
             d1, d2 = video_dets[f], video_dets[f + 1]
-            if not d1 or not d2:
-                pairs.append({})
-                continue
-            mat = np.full((len(d1), len(d2)), np.inf)
-            for i, a in enumerate(d1):
-                for j, b in enumerate(d2):
-                    mat[i, j] = self.distance(a, b)
-            link = {}
-            used_j = set()
-            while np.isfinite(mat).any():
-                i, j = np.unravel_index(np.argmin(mat), mat.shape)
-                link[int(i)] = int(j)
-                used_j.add(int(j))
-                mat[i, :] = np.inf
-                mat[:, j] = np.inf
-            pairs.append(link)
-        return pairs
+            links = []
+            if d1 and d2:
+                mat = np.full((len(d1), len(d2)), np.inf)
+                for i, a in enumerate(d1):
+                    for j, b in enumerate(d2):
+                        mat[i, j] = self.distance(a, b)
+                while np.isfinite(mat).any():
+                    i, j = np.unravel_index(np.argmin(mat), mat.shape)
+                    links.append((int(i), int(j)))
+                    mat[i, :] = np.inf
+                    mat[:, j] = np.inf
+            srcs = {p[0] for p in links}
+            pairs.append(links)
+            unmatched.append([i for i in range(len(d1)) if i not in srcs])
+        return pairs, unmatched
+
+    @staticmethod
+    def get_identity_pairs(video_dets: List[List[dict]]):
+        """post=False: no linking — empty pair lists, every det of every
+        frame (INCLUDING the last, unlike get_video_pairs) unmatched
+        (REPPM.get_pred, :135-154)."""
+        n = len(video_dets)
+        pairs = [[] for _ in range(max(n - 1, 0))]
+        unmatched = [list(range(len(d))) for d in video_dets]
+        return pairs, unmatched
 
     def get_tubelets(self, video_dets: List[List[dict]], pairs):
-        """Chains of linked detections: list of [(frame, det), ...]
-        (REPPM.py:179)."""
+        """Maximal chains over the pair links, discovered in
+        (start-frame, pair-discovery-order) order, consuming pairs as
+        they are chained (REPPM.py:179-230). Only linked detections form
+        chains here; unlinked ones enter via `add_unmatched` handling in
+        __call__."""
+        pairs = [list(p) for p in pairs]
         tubelets = []
-        used = [set() for _ in video_dets]
-        for f0 in range(len(video_dets)):
-            for i0 in range(len(video_dets[f0])):
-                if i0 in used[f0]:
-                    continue
-                tube = [(f0, video_dets[f0][i0])]
-                used[f0].add(i0)
-                f, i = f0, i0
-                while f < len(pairs) and i in pairs[f]:
-                    j = pairs[f][i]
-                    if j in used[f + 1]:
-                        break
-                    tube.append((f + 1, video_dets[f + 1][j]))
-                    used[f + 1].add(j)
-                    f, i = f + 1, j
-                tubelets.append(tube)
+        n = len(video_dets)
+        f = 0
+        while f < max(n - 1, 0):
+            if not pairs[f]:
+                f += 1
+                continue
+            i, j = pairs[f].pop(0)
+            tube = [(f, video_dets[f][i])]
+            cur, ind = f + 1, j
+            while cur < n - 1:
+                nxt = next((p for p in pairs[cur] if p[0] == ind), None)
+                if nxt is None:
+                    break
+                pairs[cur].remove(nxt)
+                tube.append((cur, video_dets[cur][ind]))
+                ind = nxt[1]
+                cur += 1
+            tube.append((cur, video_dets[cur][ind]))
+            tubelets.append(tube)
         return tubelets
 
     # -- rescoring / recoordinating -----------------------------------------
     @staticmethod
     def rescore_tubelet(tube):
         """Mean per-class score across the tubelet replaces each det's
-        scores (REPPM.py:231)."""
+        scores, IN PLACE on the shared det dicts (REPPM.py:231)."""
         mean_scores = np.mean([d["scores"] for _, d in tube], axis=0)
         for _, d in tube:
             d["scores"] = mean_scores.copy()
         return float(np.max(mean_scores))
 
-    def recoordinate_tubelet(self, tube):
-        """Gaussian smoothing of box coords along time (REPPM.py:244)."""
-        if len(tube) < 3:
-            return
+    def recoordinate_tubelet(self, tube, ms: float = 40.0):
+        """Gaussian smoothing of box coords along time, matching the
+        reference kernel exactly (REPPM.py:244-258): window length
+        2*len-1, std = recoordinate_std * 100 / 40, reflect boundary
+        (scipy.ndimage 'reflect' == np.pad 'symmetric')."""
         coords = np.asarray([d["bbox"] for _, d in tube], float)
-        radius = max(int(3 * self.recoordinate_std), 1)
-        xs = np.arange(-radius, radius + 1)
-        kernel = np.exp(-0.5 * (xs / self.recoordinate_std) ** 2)
+        L = len(coords)
+        std = self.recoordinate_std * 100.0 / ms
+        n = np.arange(2 * L - 1) - (L - 1)
+        kernel = np.exp(-0.5 * (n / std) ** 2)
         kernel /= kernel.sum()
         sm = np.stack([np.convolve(
-            np.pad(coords[:, k], radius, mode="edge"), kernel,
+            np.pad(coords[:, k], L - 1, mode="symmetric"), kernel,
             mode="valid") for k in range(4)], axis=1)
         for (f, d), row in zip(tube, sm):
             d["bbox"] = row.tolist()
@@ -247,19 +281,33 @@ class REPP:
     # -- top-level -----------------------------------------------------------
     def __call__(self, video_dets: List[List[dict]]) -> List[List[dict]]:
         """video_dets: per-frame lists of REPP detection dicts. Returns
-        filtered + rescored + recoordinated per-frame lists."""
+        per-frame lists after the reference pipeline (REPPM.__call__,
+        :299-340): input filter at min_tubelet_score -> link -> chain ->
+        rescore -> recoordinate -> re-add unlinked dets as singleton
+        tubelets (when add_unmatched is False — the reference's inverted
+        flag). A tubelet TAIL also appears in the unmatched set, so the
+        same (rescored, shared) det dict is emitted twice — reference
+        behavior, kept for output parity; export-level filtering happens
+        in repp_to_coco / process_video_dets at min_pred_score."""
         filtered = [[d for d in frame
-                     if np.max(d["scores"]) >= self.min_pred_score]
+                     if np.max(d["scores"]) >= self.min_tubelet_score]
                     for frame in video_dets]
-        pairs = self.get_video_pairs(filtered)
+        if self.post:
+            pairs, unmatched = self.get_video_pairs(filtered)
+        else:
+            pairs, unmatched = self.get_identity_pairs(filtered)
         tubelets = self.get_tubelets(filtered, pairs)
+        for tube in tubelets:
+            self.rescore_tubelet(tube)
+        if self.do_recoordinate:
+            for tube in tubelets:
+                self.recoordinate_tubelet(tube)
+        if not self.add_unmatched:
+            for f, rows in enumerate(unmatched):
+                for i in rows:
+                    tubelets.append([(f, filtered[f][i])])
         out: List[List[dict]] = [[] for _ in video_dets]
         for tube in tubelets:
-            score = self.rescore_tubelet(tube)
-            if score < self.min_tubelet_score:
-                continue
-            if self.do_recoordinate:
-                self.recoordinate_tubelet(tube)
             for f, d in tube:
                 out[f].append(d)
         return out
@@ -267,7 +315,9 @@ class REPP:
     def process_video_dets(self, all_dets: List[Optional[np.ndarray]],
                            num_classes: int = 30):
         """Convenience wrapper over (K, 7) row arrays per frame (the demo
-        path): REPP then back to row format."""
+        path): REPP then back to row format, with the export-level
+        min_pred_score / max-class filter (tubelets_to_predictions,
+        REPPM.py:264-270)."""
         video = [rows_to_repp(d if d is not None else np.zeros((0, 7)),
                               num_classes) for d in all_dets]
         processed = self(video)
@@ -277,6 +327,8 @@ class REPP:
             for d in frame:
                 cls = int(np.argmax(d["scores"]))
                 s = float(d["scores"][cls])
+                if s < self.min_pred_score:
+                    continue
                 x, y, w, h = d["bbox"]
                 rows.append([x, y, x + w, y + h, 1.0, s, cls])
             out.append(np.asarray(rows, np.float32).reshape(-1, 7))
@@ -284,16 +336,24 @@ class REPP:
 
 
 def repp_to_coco(video_dets: List[List[dict]], image_ids: List[int],
-                 class_ids: Optional[Sequence[int]] = None) -> List[dict]:
-    """Per-frame REPP dicts -> COCO prediction dicts (REPPM.py:260)."""
+                 class_ids: Optional[Sequence[int]] = None,
+                 min_pred_score: float = 0.0) -> List[dict]:
+    """Per-frame REPP dicts -> COCO prediction dicts
+    (tubelets_to_predictions, REPPM.py:260-276): keeps every class slot
+    tied at the max score (usually exactly one) when it clears
+    min_pred_score."""
     out = []
     for frame, img_id in zip(video_dets, image_ids):
         for d in frame:
-            cls = int(np.argmax(d["scores"]))
-            out.append({
-                "image_id": int(img_id),
-                "category_id": int(class_ids[cls]) if class_ids else cls + 1,
-                "bbox": [float(v) for v in d["bbox"]],
-                "score": float(d["scores"][cls]),
-            })
+            smax = float(np.max(d["scores"]))
+            for cls, s in enumerate(np.asarray(d["scores"], float)):
+                if s < min_pred_score or s != smax:
+                    continue
+                out.append({
+                    "image_id": int(img_id),
+                    "category_id": (int(class_ids[cls]) if class_ids
+                                    else cls + 1),
+                    "bbox": [float(v) for v in d["bbox"]],
+                    "score": float(s),
+                })
     return out

@@ -71,6 +71,9 @@ def test_yolov_plus_agg_types(frames, agg_type):
 
 
 def test_yolov_online_streaming(frames):
+    """Reference gating (yolov_msa_online.py:281-283 + post_process.py:
+    194): the bank participates from the 3rd frame; the local msa bank
+    fills from the first frame where the trans ran (frame index 2)."""
     m = YOLOVOnline(num_classes=C, depth=0.33, width=0.125,
                     num_proposals=P, heads=2)
     hidden = int(256 * 0.125)
@@ -80,14 +83,30 @@ def test_yolov_online_streaming(frames):
     out1 = m.apply(vars_, x0, bank)
     assert out1["refined_cls_logits"].shape == (1, P, C)
     bank1 = out1["bank"]
-    assert int(bank1.ptr) == P
+    assert int(bank1.ptr) == P and int(bank1.frames) == 1
     # pre-NMS may leave fewer than P survivors; at least one slot is real
     assert bool(bank1.valid[:P].any())
-    # second frame attends to bank -> different logits than a fresh bank
+    assert not bool(out1["use_refined"])
+
     out2 = m.apply(vars_, frames[1:2], bank1)
-    out2_fresh = m.apply(vars_, frames[1:2], bank)
-    assert not np.allclose(np.asarray(out2["refined_cls_logits"]),
-                           np.asarray(out2_fresh["refined_cls_logits"]))
+    bank2 = out2["bank"]
+    assert not bool(out2["use_refined"])     # still < 2 banked frames
+    assert not bool(bank2.l_valid.any())     # msa bank not yet fed
+
+    out3 = m.apply(vars_, frames[2:3], bank2)
+    bank3 = out3["bank"]
+    assert bool(out3["use_refined"])
+    assert bool(bank3.l_valid[:P].any())     # trans ran -> msa banked
+    # with the bank gated ON, logits differ from a fresh-bank run
+    out3_fresh = m.apply(vars_, frames[2:3], bank)
+    assert not np.allclose(np.asarray(out3["refined_cls_logits"]),
+                           np.asarray(out3_fresh["refined_cls_logits"]))
+    # 4th frame: local_agg memory merge is active and changes outputs
+    out4 = m.apply(vars_, frames[3:4], bank3)
+    no_local = bank3._replace(l_valid=jnp.zeros_like(bank3.l_valid))
+    out4_nl = m.apply(vars_, frames[3:4], no_local)
+    assert not np.allclose(np.asarray(out4["refined_cls_logits"]),
+                           np.asarray(out4_nl["refined_cls_logits"]))
 
 
 def test_bank_push_ring_wraps():

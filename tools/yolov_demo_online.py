@@ -66,8 +66,13 @@ def main():
     @jax.jit
     def step(variables, x, bank):
         out = model.apply(variables, x, bank)
-        refined, _ = yolov_eval_postprocess(out, 1, exp.num_classes)
-        return refined, out["bank"]
+        refined, original = yolov_eval_postprocess(out, 1, exp.num_classes)
+        # first two frames: no bank yet -> plain still-image result
+        # (yolov_msa_online.py:281-283)
+        sel = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(out["use_refined"], a, b),
+            refined, original)
+        return sel, out["bank"]
 
     os.makedirs(args.output_dir, exist_ok=True)
     writer = None

@@ -63,6 +63,9 @@ class DualBranchAttention(nn.Module):
     cross: bool = True
     qkv_bias: bool = False
     use_pallas: Optional[bool] = None   # None = auto (TPU backend only)
+    # Attention_msa_online (post_trans.py:950) KEEPS fg-score guidance on
+    # the reg-branch logits; the offline heads dropped it upstream
+    reg_score_guidance: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -94,9 +97,9 @@ class DualBranchAttention(nn.Module):
         vcn, vrn = _l2norm(vc), _l2norm(vr)
 
         f32 = jnp.float32
-        fused_ok = (not use_mask) and (self.use_pallas if self.use_pallas
-                                       is not None
-                                       else jax.default_backend() == "tpu")
+        fused_ok = ((not use_mask) and (not self.reg_score_guidance)
+                    and (self.use_pallas if self.use_pallas is not None
+                         else jax.default_backend() == "tpu"))
         cls_mask = None
         if fused_ok:
             # one-kernel path: cosine QK x scale x score-guide, dual
@@ -119,6 +122,8 @@ class DualBranchAttention(nn.Module):
             # reg-branch guidance removed upstream 2023.12.5)
             if cls_score is not None:
                 logits_cls = logits_cls * cls_score.astype(f32)[None, None, :]
+            if self.reg_score_guidance and fg_score is not None:
+                logits_reg = logits_reg * fg_score.astype(f32)[None, None, :]
             if use_mask and cls_score is not None and fg_score is not None:
                 # score-window mask multiplies the CLS logits only; the
                 # reg branch carries no score guidance at all (removed
@@ -296,6 +301,7 @@ class MSAYolov(nn.Module):
     num_heads: int = 4
     scale: float = 25.0
     reconf: bool = False
+    reg_score_guidance: bool = False   # True for the ONLINE msa variant
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -308,6 +314,7 @@ class MSAYolov(nn.Module):
         (cls (N, out_dim), obj (N, out_dim) or None)."""
         N, C = feat_cls.shape
         p = DualBranchAttention(self.num_heads, self.scale, cross=False,
+                                reg_score_guidance=self.reg_score_guidance,
                                 dtype=self.dtype, name="msa")(
             feat_cls, feat_reg, cls_score, fg_score, valid, N,
             sim_thresh=sim_thresh, use_mask=use_mask,

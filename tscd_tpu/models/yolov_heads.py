@@ -14,9 +14,9 @@ Differences among family members (mirroring the reference):
   second aggregator produces obj from the reg branch); refined labels in
   ota_mode come from SimOTA at the proposal anchors (handled by
   tscd_tpu.train.losses).
-- Online YOLOV: one local frame + an explicit rolling feature bank
-  carried between calls (the host maintains the bank with
-  tscd_tpu.postprocess.online_previous_selection).
+- Online YOLOV: one local frame + explicit rolling feature banks (main +
+  local msa memory) carried between calls as a device-resident
+  OnlineBank — no host-side list juggling like the reference demo.
 """
 
 import math
@@ -582,30 +582,57 @@ class YOLOVPlusHead(nn.Module):
 
 
 class OnlineBank(NamedTuple):
-    """Rolling proposal-feature bank for streaming YOLOV
-    (yolov_msa_online.py:282-294 `other_result`): fixed-capacity
-    device-resident FIFO over past frames' proposals."""
-    cls_feat: jax.Array   # (B, h)
-    reg_feat: jax.Array   # (B, h)
-    cls_score: jax.Array  # (B,)
-    fg_score: jax.Array   # (B,)
-    valid: jax.Array      # (B,) bool
-    ptr: jax.Array        # () int32 — next write slot (ring buffer)
+    """Rolling proposal-feature banks for streaming YOLOV
+    (yolov_msa_online.py:282-294 `other_result` + the demo's
+    tmp_bank/local_bank, tools/yolov_demo_online.py:214-240):
+    fixed-capacity device-resident FIFOs over past frames' proposals.
+
+    The reference's MAIN bank keeps the last 600 frames and selects 31
+    by a fixed-seed shuffle each step (online_previous_selection,
+    post_process.py:186-216); attention is permutation-invariant over
+    bank rows, so for streams up to `capacity // P` frames this FIFO is
+    EXACTLY equivalent (same row set) — beyond that the reference reads
+    a seeded-random subset of the last 600 frames where this keeps the
+    most recent ones (divergence quantified in
+    tests/test_torch_parity_online.py). The LOCAL msa bank is last-20
+    frames in the reference (:209) — a FIFO by definition, exact at any
+    length."""
+    cls_feat: jax.Array     # (B, h)
+    reg_feat: jax.Array     # (B, h)
+    cls_score: jax.Array    # (B,)
+    fg_score: jax.Array     # (B,)
+    valid: jax.Array        # (B,) bool
+    ptr: jax.Array          # () int32 — next write slot (ring buffer)
+    msa_feat: jax.Array     # (Bl, 4h) trans outputs of past frames
+    boxes: jax.Array        # (Bl, 4) xyxy
+    l_cls_score: jax.Array  # (Bl,)
+    l_fg_score: jax.Array   # (Bl,)
+    l_valid: jax.Array      # (Bl,) bool
+    l_ptr: jax.Array        # () int32
+    frames: jax.Array       # () int32 — frames pushed so far
 
 
 def init_online_bank(capacity: int, hidden: int,
+                     local_capacity: Optional[int] = None,
+                     out_dim: Optional[int] = None,
                      dtype=jnp.float32) -> OnlineBank:
+    lc = capacity if local_capacity is None else local_capacity
+    od = 4 * hidden if out_dim is None else out_dim
+    z = jnp.zeros
     return OnlineBank(
-        jnp.zeros((capacity, hidden), dtype),
-        jnp.zeros((capacity, hidden), dtype),
-        jnp.zeros((capacity,), dtype), jnp.zeros((capacity,), dtype),
-        jnp.zeros((capacity,), bool), jnp.zeros((), jnp.int32))
+        z((capacity, hidden), dtype), z((capacity, hidden), dtype),
+        z((capacity,), dtype), z((capacity,), dtype),
+        z((capacity,), bool), z((), jnp.int32),
+        z((lc, od), dtype), z((lc, 4), dtype),
+        z((lc,), dtype), z((lc,), dtype), z((lc,), bool),
+        z((), jnp.int32), z((), jnp.int32))
 
 
 def bank_push(bank: OnlineBank, cls_feat, reg_feat, cls_score, fg_score,
               valid) -> OnlineBank:
-    """Ring-buffer insert of one frame's P proposals (the fixed-shape
-    equivalent of the reference's random-eviction list bank)."""
+    """Ring-buffer insert of one frame's P proposals into the MAIN bank
+    (the reference appends every frame's features,
+    yolov_demo_online.py:218-221)."""
     P = cls_feat.shape[0]
     B = bank.cls_feat.shape[0]
     idx = (bank.ptr + jnp.arange(P)) % B
@@ -613,18 +640,82 @@ def bank_push(bank: OnlineBank, cls_feat, reg_feat, cls_score, fg_score,
     def put(buf, new):
         return buf.at[idx].set(new.astype(buf.dtype))
 
-    return OnlineBank(put(bank.cls_feat, cls_feat),
-                      put(bank.reg_feat, reg_feat),
-                      put(bank.cls_score, cls_score),
-                      put(bank.fg_score, fg_score),
-                      put(bank.valid, valid),
-                      (bank.ptr + P) % B)
+    return bank._replace(
+        cls_feat=put(bank.cls_feat, cls_feat),
+        reg_feat=put(bank.reg_feat, reg_feat),
+        cls_score=put(bank.cls_score, cls_score),
+        fg_score=put(bank.fg_score, fg_score),
+        valid=put(bank.valid, valid),
+        ptr=(bank.ptr + P) % B,
+        frames=bank.frames + 1)
+
+
+def bank_push_local(bank: OnlineBank, msa, boxes, cls_score, fg_score,
+                    valid, ran) -> OnlineBank:
+    """Conditionally insert into the LOCAL msa bank — the reference only
+    appends when the trans actually ran this step (res_dict['msa'] stays
+    None on the early single-image path, yolov_msa_online.py:281-283)."""
+    P = msa.shape[0]
+    B = bank.msa_feat.shape[0]
+    idx = (bank.l_ptr + jnp.arange(P)) % B
+
+    def put(buf, new):
+        return jnp.where(ran, buf.at[idx].set(new.astype(buf.dtype)), buf)
+
+    return bank._replace(
+        msa_feat=put(bank.msa_feat, msa),
+        boxes=put(bank.boxes, boxes),
+        l_cls_score=put(bank.l_cls_score, cls_score),
+        l_fg_score=put(bank.l_fg_score, fg_score),
+        l_valid=put(bank.l_valid, valid),
+        l_ptr=jnp.where(ran, (bank.l_ptr + P) % B, bank.l_ptr))
+
+
+def local_agg_merge(features: jax.Array, boxes: jax.Array,
+                    cls_score: jax.Array, fg_score: jax.Array,
+                    local_feat: jax.Array, local_boxes: jax.Array,
+                    l_cls_score: jax.Array, l_fg_score: jax.Array,
+                    l_valid: jax.Array) -> jax.Array:
+    """MSA_yolov_online.local_agg (post_trans.py:1324-1345): merge the
+    current frame's aggregated features with the local msa memory by
+    softmax(25 * cos-sim * score-thresh-map) * geometry-IoU, row-
+    normalized, then average with the input features. The thresh map
+    ZEROES logits (not -inf) exactly like the reference; invalid bank
+    slots are excluded from the softmax. The reference divides by the
+    row sum unguarded (NaN when no bank box overlaps a query); here the
+    denominator is clamped, which degrades to features/2 instead."""
+    from ..ops.boxes import pairwise_iou_xyxy
+    f32 = jnp.float32
+    fn = _l2norm(features.astype(f32))
+    ln = _l2norm(local_feat.astype(f32))
+    cos = fn @ ln.T                                    # (P, M)
+    iou = pairwise_iou_xyxy(boxes.astype(f32), local_boxes.astype(f32))
+    pre = (cls_score * fg_score).astype(f32)[:, None]
+    other = (l_cls_score * l_fg_score).astype(f32)[None, :]
+    thresh = ((other - pre) > -0.3).astype(f32)
+    logits = 25.0 * cos * thresh
+    logits = jnp.where(l_valid[None, :], logits, -1e9)
+    w = jax.nn.softmax(logits, axis=-1) * iou * l_valid[None, :].astype(f32)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    merged = w @ local_feat.astype(f32)
+    return ((merged + features.astype(f32)) * 0.5).astype(features.dtype)
 
 
 class YOLOVOnlineHead(nn.Module):
-    """Online streaming YOLOV head (yolov_msa_online.py:27): ONE frame per
-    call; queries = current proposals, keys/values = current + bank;
-    returns refined logits and the updated bank as explicit carry."""
+    """Online streaming YOLOV head (yolov_msa_online.py:27), structured
+    exactly like the reference: ONE frame per call; square MSA over
+    [current proposals ++ main bank] (Attention_msa_online with fg-score
+    guidance on the reg branch, post_trans.py:902-968) -> linear1 ->
+    round-2 ave pooling -> linear2 -> local_agg merge against the msa
+    memory -> linear_pred. Composed parity:
+    tests/test_torch_parity_online.py.
+
+    The reference takes the plain single-image result until TWO frames
+    are banked (online_previous_selection bails below 2 frames,
+    post_process.py:194, and the head early-returns,
+    yolov_msa_online.py:283) — mirrored here by `use_refined` in the
+    output (the refined logits are computed unconditionally to keep the
+    step a single compiled program)."""
 
     num_classes: int
     width: float = 1.0
@@ -632,7 +723,7 @@ class YOLOVOnlineHead(nn.Module):
     act: str = "silu"
     depthwise: bool = False
     heads: int = 4
-    num_proposals: int = 30
+    num_proposals: int = 30           # Afternum = simN = 30 upstream
     pre_nms: float = 0.75
     sim_thresh: float = 0.75
     ave: bool = True
@@ -664,24 +755,38 @@ class YOLOVOnlineHead(nn.Module):
         f_cls = take(cls_feat, props.idx)[0]                 # (P, h)
         f_reg = take(reg_feat, props.idx)[0]
         cs, fs, vl = props.cls_conf[0], props.obj[0], props.valid[0]
+        boxes = props.boxes[0]
 
-        all_cls = jnp.concatenate([f_cls, bank.cls_feat], 0)
-        all_reg = jnp.concatenate([f_reg, bank.reg_feat], 0)
-        all_cs = jnp.concatenate([cs, bank.cls_score], 0)
-        all_fs = jnp.concatenate([fs, bank.fg_score], 0)
-        all_vl = jnp.concatenate([vl, bank.valid], 0)
+        # reference gate: bank participates only from the 3rd frame on
+        ran = bank.frames >= 2
+        all_cls = jnp.concatenate([f_cls, bank.cls_feat.astype(f_cls.dtype)],
+                                  0)
+        all_reg = jnp.concatenate([f_reg, bank.reg_feat.astype(f_reg.dtype)],
+                                  0)
+        all_cs = jnp.concatenate([cs, bank.cls_score.astype(cs.dtype)], 0)
+        all_fs = jnp.concatenate([fs, bank.fg_score.astype(fs.dtype)], 0)
+        all_vl = jnp.concatenate([vl, bank.valid & ran], 0)
 
-        # cross-attention: current frame queries the merged set
-        from .aggregation import MCACore
-        agg, _ = MCACore(self.heads, reconf=False, dtype=self.dtype,
-                         name="agg")(
-            all_cls, all_reg, all_cs, all_fs, all_vl, P,
+        out, _ = MSAYolov(4 * hidden, self.heads, reconf=False,
+                          reg_score_guidance=True, dtype=self.dtype,
+                          name="trans")(
+            all_cls, all_reg, all_cs, all_fs, all_vl,
             sim_thresh=self.sim_thresh, ave=self.ave)
-        agg = nn.Dense(4 * hidden, dtype=self.dtype, name="agg_proj")(agg)
-        refined = nn.Dense(C, dtype=self.dtype, name="cls_pred")(agg)
+        cur = out[:P]                                        # (P, 4h)
+
+        has_local = jnp.any(bank.l_valid)
+        merged = local_agg_merge(cur, boxes, cs, fs, bank.msa_feat,
+                                 bank.boxes, bank.l_cls_score,
+                                 bank.l_fg_score, bank.l_valid)
+        lout = jnp.where(has_local, merged, cur)
+
+        refined = nn.Dense(C, dtype=self.dtype, name="cls_pred")(lout)
 
         new_bank = bank_push(bank, f_cls, f_reg, cs, fs, vl)
+        new_bank = bank_push_local(new_bank, cur, boxes, cs, fs,
+                                   vl & ran, ran)
         return {"raw_outputs": raw_outputs, "hw": hw, "decoded": decoded,
                 "proposals": props,
                 "refined_cls_logits": refined[None],
+                "use_refined": ran,
                 "bank": new_bank}

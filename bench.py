@@ -20,6 +20,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -109,8 +110,13 @@ def main():
             "agg_matcher_refine_ms": round(full_ms - ms["dense"], 2),
             "full_ms": round(full_ms, 2),
         }
-    except Exception:
-        pass  # stage breakdown is best-effort; the headline metric stands
+    except Exception as e:  # stage breakdown is best-effort; the
+        # headline metric stands — but a silent regression in the
+        # backbone/dense profiling cuts must still be visible
+        import traceback
+        print(f"stage breakdown failed: {e!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        stages = {"error": repr(e)}
 
     print(json.dumps({
         "metric": "tscd_large_576_eval_fps",

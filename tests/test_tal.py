@@ -51,7 +51,9 @@ def oracle_tal(scores, boxes, gts, gt_cls, gt_valid, axy, C,
         cl = np.where(mask_pos[:, a])[0]
         if len(cl) == 0:
             continue
-        matched[a] = cl[np.argmax(ious[cl, a])] if len(cl) > 1 else cl[0]
+        # multi-claimed anchors: highest IoU over ALL gts (ultralytics
+        # select_highest_overlaps)
+        matched[a] = np.argmax(ious[:, a]) if len(cl) > 1 else cl[0]
     # rebuild single-claim mask, then per-gt normalization
     mask_pos = np.zeros((G, A), bool)
     for a in range(A):

@@ -129,3 +129,41 @@ def test_tscd_loss_and_grads(tscd_setup):
     gnorm = jax.tree_util.tree_reduce(
         lambda a, b: a + float(jnp.sum(b ** 2)), grads, 0.0)
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_tscd_localagg_branch():
+    """agg_type='localagg' (the head config the reference constructs at
+    tscd_head.py:91-96 but whose forward is dead code upstream — see the
+    branch comment in tscd_tpu/models/tscd_head.py): forward shapes,
+    eval postprocess, loss and grads must all work."""
+    m = TSCD(num_classes=C, depth=0.33, width=0.125, num_proposals=P,
+             heads=2, agg_type="localagg")
+    x = jnp.asarray(np.random.default_rng(3).uniform(0, 255,
+                                                     (F, HW, HW, 3)),
+                    jnp.float32)
+    te = jnp.asarray(get_timing_signal_1d(np.arange(F), 256))
+    vars_ = m.init(jax.random.PRNGKey(0), x, te, L, G)
+    out = m.apply(vars_, x, te, L, G)
+    assert out["refined_cls_logits"].shape == (L, P, C)
+    assert out["matcher_obj_logits"].shape == (L, P)
+    assert out["refined_boxes"].shape == (L, P, 4)
+    refined, _ = tscd_eval_postprocess(out, L, C, out_k=10)
+    assert refined.boxes.shape == (L, 10, 4)
+
+    labels = np.zeros((F, 6, 5), np.float32)
+    labels[:, 0] = [1, 30, 30, 20, 20]
+
+    def loss_fn(params):
+        o, _ = m.apply({"params": params,
+                        "batch_stats": vars_["batch_stats"]},
+                       x, te, L, G, True, mutable=["batch_stats"])
+        l = tscd_loss(o, jnp.asarray(labels), (8, 16, 32), L)
+        return l["total_loss"], l
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        vars_["params"])
+    for k, v in losses.items():
+        assert np.isfinite(np.asarray(v)), k
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.sum(b ** 2)), grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0

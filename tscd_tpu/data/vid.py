@@ -363,7 +363,16 @@ def collate_window(dataset, paths: Sequence[str], max_labels: int = 120,
     in imread): a 32-frame 720p window decodes in ~40 ms instead of
     ~300, which is what lets the WindowLoader keep a ~40 ms/step TPU
     eval fed (the reference leaned on torch DataLoader workers for the
-    same reason). Size with TSCD_DECODE_WORKERS (default 8)."""
+    same reason). Size with TSCD_DECODE_WORKERS (default 8).
+
+    CONTRACT: `dataset.load_frame` is called CONCURRENTLY from the pool
+    threads, so implementations must be thread-safe — in particular any
+    lazily-populated per-call state (annotation caches etc.) needs a
+    lock or must be built eagerly in __init__ (all datasets in
+    tscd_tpu.data preload annotations up front). Peak memory holds all
+    F decoded frames at once (F x H x W x 3 bytes; ~88 MB for a
+    32-frame 1080p window) — acceptable for the shipped window sizes;
+    shrink TSCD_DECODE_WORKERS or F if that ever matters."""
     from .transforms import augment_hsv
 
     H, W = dataset.img_size

@@ -10,9 +10,9 @@ Design notes (TPU-first):
   channel dim as the contraction axis for 1x1 convs).
 - Compute dtype is configurable (bf16 by default in model configs); BN runs
   in fp32 for stability, params are fp32.
-- BN folding for inference: see `tscd_tpu.utils.fuse.fold_batch_norm` which
-  produces a bias-ful conv and drops BN entirely — the equivalent of the
-  reference's `fuseforward` deploy path.
+- BN folding for inference: see `tscd_tpu.utils.model_utils.
+  fuse_conv_bn_params` which produces a bias-ful conv and drops BN
+  entirely — the equivalent of the reference's `fuseforward` deploy path.
 """
 
 from typing import Any, Callable, Sequence, Tuple

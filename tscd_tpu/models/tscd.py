@@ -28,7 +28,8 @@ class TSCD(nn.Module):
     minimal_limit: Optional[int] = None
     cat_ota_fg: bool = False
     heads: int = 4
-    agg_type: str = "mca"
+    agg_type: str = "mca"            # 'mca' | 'mca_aware' | 'localagg'
+    local_blocks: int = 1
     decoder_layer_num: int = 1
     reconf: bool = True
     decouple_reg: bool = True
@@ -55,7 +56,7 @@ class TSCD(nn.Module):
         self.head = TSCDHead(
             num_classes=self.num_classes, width=self.width, act=self.act,
             depthwise=self.depthwise, heads=self.heads,
-            agg_type=self.agg_type,
+            agg_type=self.agg_type, local_blocks=self.local_blocks,
             decoder_layer_num=self.decoder_layer_num,
             num_proposals=self.num_proposals,
             minimal_limit=self.minimal_limit, cat_ota_fg=self.cat_ota_fg,

@@ -148,7 +148,8 @@ class TSCDHead(nn.Module):
     act: str = "silu"
     depthwise: bool = False
     heads: int = 4
-    agg_type: str = "mca"            # 'mca' | 'mca_aware' (SE edge keys)
+    agg_type: str = "mca"            # 'mca' | 'mca_aware' | 'localagg'
+    local_blocks: int = 1            # localagg transformer blocks
     decoder_layer_num: int = 1       # referring cross-attn layers (CAFM)
     num_proposals: int = 50          # physical slots P (= maximal_limit)
     minimal_limit: Optional[int] = None  # validity floor (None -> P)
@@ -316,6 +317,41 @@ class TSCDHead(nn.Module):
                           else props.idx[:lframe])
 
         # cross-frame aggregation: cls branch (:480) and reg branch (:491)
+        if self.agg_type == "localagg":
+            # The reference TSCDHead constructs this branch
+            # (LocalAggregation + Linear(width) cls/obj/reg preds,
+            # tscd_head.py:91-96) but its FORWARD is dead code upstream:
+            # the localagg call site passes MCA-style args so every
+            # reconf x ota combination raises (probed in
+            # tests/test_torch_parity_train.py notes). This composition
+            # follows the WORKING YOLOV++ localagg path
+            # (v_plus_head.py:330-360) and keeps the TSCD output
+            # contract: refined cls + matcher obj + reg offsets (no CAFM
+            # matcher — the reference branch has none either).
+            from .yolov_heads import LocalAggregation
+            F = props.boxes.shape[0]
+            Wpx = xin[0].shape[2] * self.strides[0]
+            Hpx = xin[0].shape[1] * self.strides[0]
+            agg_c, agg_r = LocalAggregation(
+                self.heads, blocks=self.local_blocks, reconf=self.reconf,
+                dtype=dt, name="agg")(
+                f_cls.reshape(-1, hidden), f_reg.reshape(-1, hidden),
+                props.boxes.reshape(-1, 4), props.cls_conf.reshape(-1),
+                props.obj.reshape(-1), props.valid.reshape(-1),
+                F, P, Wpx, Hpx)
+            agg_c = agg_c.reshape(F, P, -1)[:lframe]
+            agg_r = agg_r.reshape(F, P, -1)[:lframe]
+            out["refined_cls_logits"] = nn.Dense(
+                C, dtype=dt, name="cls_pred")(agg_c)
+            if self.reconf:
+                out["matcher_obj_logits"] = nn.Dense(
+                    1, dtype=dt, name="obj_pred")(agg_r)[..., 0]
+                out["matcher_reg_offsets"] = nn.Dense(
+                    4, dtype=dt, name="reg_pred")(agg_r)
+                out["refined_boxes"] = decode_reg_offsets(
+                    out["matcher_reg_offsets"].astype(jnp.float32),
+                    props.boxes[:lframe])
+            return out
         if self.agg_type == "mca_aware":
             from .aggregation import MCAg2lAware
             agg_cls, _ = MCAg2lAware(4 * hidden, self.heads, reconf=False,

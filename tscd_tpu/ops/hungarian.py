@@ -15,11 +15,23 @@ among themselves).
 """
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 INF = jnp.inf
+
+# Pallas-kernel dispatch policy. None = auto: use the TPU kernel when
+# jax.default_backend() is "tpu" and n <= 128. NOTE the auto check runs
+# at TRACE time, so a computation explicitly placed on CPU from a
+# TPU-default process (jax.default_device(cpu_dev)) would still pick the
+# TPU kernel — set USE_PALLAS = False (or pass use_pallas=False) around
+# such regions. Only the `jax_platforms` config is visible to the auto
+# path. Tie-break caveat either way: both lowerings pick the FIRST
+# minimal column (argmin), scipy prefers unassigned columns — results
+# match scipy only for unique optima (random float costs in practice).
+USE_PALLAS: Optional[bool] = None
 
 
 def _augmenting_path_step(cost, u, v, row4col, cur_row):
@@ -54,9 +66,12 @@ def _augmenting_path_step(cost, u, v, row4col, cur_row):
     return sink, min_val, remaining, spc, path, sr
 
 
-def linear_sum_assignment(cost: jax.Array) -> jax.Array:
+def linear_sum_assignment(cost: jax.Array,
+                          use_pallas: Optional[bool] = None) -> jax.Array:
     """Square cost matrix (n, n) float32 -> col4row (n,) int32 giving the
-    optimal column for each row. Matches scipy for unique optima.
+    optimal column for each row. Matches scipy for unique optima (see the
+    module-level tie-break note). `use_pallas` overrides the dispatch
+    policy per call (None = module USE_PALLAS, None = backend auto).
 
     On TPU with n <= 128 this dispatches to the single-kernel pallas
     implementation (ops/pallas/hungarian.py) — bit-identical results,
@@ -70,7 +85,10 @@ def linear_sum_assignment(cost: jax.Array) -> jax.Array:
     the matcher fails in jax.grad."""
     cost = jax.lax.stop_gradient(cost).astype(jnp.float32)
     n = cost.shape[0]
-    if n <= 128 and jax.default_backend() == "tpu":
+    policy = USE_PALLAS if use_pallas is None else use_pallas
+    if policy is None:
+        policy = jax.default_backend() == "tpu"
+    if policy and n <= 128:
         from .pallas.hungarian import linear_sum_assignment_pallas
         return linear_sum_assignment_pallas(cost)
 

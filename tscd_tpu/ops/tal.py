@@ -67,10 +67,12 @@ def tal_assign(pd_scores: jax.Array, pd_boxes: jax.Array,
         jnp.arange(G)[:, None], top_idx].set(True)
     mask_pos = mask_topk & in_gts & (align > 0)
 
-    # conflict resolution: an anchor claimed by several gts keeps the one
-    # with the highest IoU
+    # conflict resolution: an anchor claimed by several gts keeps the gt
+    # with the highest IoU over ALL gts — not just the claimants —
+    # matching ultralytics select_highest_overlaps exactly
     claims = jnp.sum(mask_pos, 0)                                     # (A,)
-    best_gt = jnp.argmax(jnp.where(mask_pos, overlaps, -1.0), 0)      # (A,)
+    best_gt = jnp.argmax(jnp.where(gt_valid[:, None], overlaps, -1.0),
+                         0)                                           # (A,)
     only_gt = jnp.argmax(mask_pos, 0)
     matched_gt = jnp.where(claims > 1, best_gt, only_gt)
     fg_mask = claims > 0

@@ -36,9 +36,17 @@ class Exp(YoloxExp):
         self.minimal_limit = 50             # validity floor (:1594-1599)
         # physical proposal slots P = the fixed-shape maximal_limit
         # (:1600-1607); 0 = same as minimal_limit (the reference's
-        # TSCD-Large configs set maximal_limit=0 i.e. unbounded, but in
-        # practice sub-threshold frames are floor-padded to 50 and
-        # crowded frames rarely exceed it — raise this to widen the cap)
+        # TSCD-Large configs set maximal_limit=0 i.e. unbounded).
+        # Measured ceiling (tools/measure_fixed_p.py, reference TSCDHead
+        # on synthetic crowded frames with 125-170 above-threshold dets):
+        #   P=50  drops 65% of above-threshold dets, P=75 48%, P=100 31%;
+        #   the SURVIVING rows' refined cls scores move by <= 7e-4
+        #   (sigmoid) and the matcher obj by <= 0.11 from the changed
+        #   attention key set. (Random-weight scores are flat, so the
+        #   dropped rows there carry proportional score mass; a trained
+        #   detector concentrates mass in the kept top-P.) Default stays
+        #   at the reference's 50-floor; raise to 75-100 for crowded
+        #   datasets (OVIS) at ~P^2 attention cost.
         self.maximal_limit = 0
         self.defualt_pre = 750
         self.sim_thresh = 0.75

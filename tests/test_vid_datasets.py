@@ -124,3 +124,34 @@ def test_build_sequences_training_caps():
                           training=True, label_counts=counts,
                           seq_cap_per_video=15, rng=rng)
     assert len(res) <= 15
+
+
+def test_uint8_transport_exact():
+    """uint8 window transport is bit-exact vs the fp32 feed: letterboxed
+    pixels are integer-valued either way (data_augment.py:248 keeps
+    uint8 through the resize), and YOLOPAFPN casts uint8 inputs on
+    device. This is the 4x host->HBM upload saving (VERDICT r2 Next #6);
+    no resize/normalize divergence exists because the model family feeds
+    raw 0-255 pixels."""
+    import jax
+    import jax.numpy as jnp
+
+    from tscd_tpu.models.yolox import YOLOX
+
+    rng = np.random.default_rng(0)
+    img_u8 = rng.integers(0, 256, (40, 52, 3), np.uint8)
+
+    from tscd_tpu.data.transforms import letterbox
+    f32, r1 = letterbox(img_u8, (64, 64))
+    assert f32.dtype == np.float32
+    u8 = f32.astype(np.uint8)
+    np.testing.assert_array_equal(u8.astype(np.float32), f32)
+
+    m = YOLOX(num_classes=5, depth=0.33, width=0.125)
+    x_f32 = jnp.asarray(f32[None])
+    x_u8 = jnp.asarray(u8[None])
+    v = m.init(jax.random.PRNGKey(0), x_f32)
+    out_f = m.apply(v, x_f32)
+    out_u = m.apply(v, x_u8)
+    np.testing.assert_array_equal(np.asarray(out_f["decoded"]),
+                                  np.asarray(out_u["decoded"]))

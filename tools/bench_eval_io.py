@@ -77,10 +77,13 @@ def main():
     ap.add_argument("--width", type=float, default=1.0)
     ap.add_argument("--lframe", type=int, default=1)
     ap.add_argument("--gframe", type=int, default=31)
-    ap.add_argument("--transport", choices=["fp32", "bf16"],
+    ap.add_argument("--transport", choices=["fp32", "bf16", "uint8"],
                     default="bf16",
                     help="host->device dtype; bf16 halves upload bytes "
-                    "and matches the compute dtype (no extra loss)")
+                    "and matches the compute dtype (no extra loss); "
+                    "uint8 quarters them and is BIT-EXACT vs fp32 "
+                    "(letterboxed pixels are integers; the backbone "
+                    "casts on-chip)")
     args = ap.parse_args()
 
     from tscd_tpu.data.vid import collate_window
@@ -112,6 +115,9 @@ def main():
         st0 = init_matcher_state(P, hidden, 4 * hidden,
                                  dtype=jnp.bfloat16)
 
+        tdt = {"bf16": jnp.bfloat16, "fp32": jnp.float32,
+               "uint8": jnp.uint8}[args.transport]
+
         @jax.jit
         def fwd(variables, x, te, st):
             out = model.apply(variables, x, te, L, G, False, st)
@@ -121,7 +127,7 @@ def main():
         def force(r):
             return float(jnp.sum(r[0].astype(jnp.float32)))
 
-        r = fwd(variables, x0, te0, st0)   # compile
+        r = fwd(variables, x0.astype(tdt), te0, st0)   # compile
         force(r)
 
         ds = FrameSet((H, W))
@@ -161,7 +167,6 @@ def main():
         # warm loader + timing; upload is accounted separately (on the
         # axon dev tunnel host->device runs at ~40 MB/s and dominates —
         # a real TPU-VM host feeds over PCIe at GB/s)
-        tdt = jnp.bfloat16 if args.transport == "bf16" else jnp.float32
         n_frames_done = 0
         fwd_time = 0.0
         upload_time = 0.0
@@ -171,6 +176,8 @@ def main():
         for batch in loader():
             t1 = time.perf_counter()
             x = jax.device_put(batch["imgs"].astype(tdt))
+            # (uint8 path: raw bytes over the wire; cast happens in
+            # YOLOPAFPN.__call__ on device)
             te = jax.device_put(batch["time_embedding"].astype(
                 np.float32))
             upload_time += time.perf_counter() - t1

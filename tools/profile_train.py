@@ -1,0 +1,162 @@
+"""Per-stage timing of the TSCD-Large train step (VERDICT r2 Weak #5 /
+Next #7): forward / SimOTA+loss / backward / optimizer+EMA cuts, plus
+the frozen-backbone fast path (stop_backbone_grad).
+
+Stage cuts are separate jitted programs; differences between them give
+the stage costs (standalone microbenches carry a ~1.5 ms dispatch floor
+on the axon tunnel — see PROFILE.md — so only in-program cuts are
+trusted). Timing uses a scalar host readback as the barrier.
+
+Usage: python tools/profile_train.py [--f 16] [--size 576] [--iters 5]
+"""
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--f", type=int, default=16)
+    ap.add_argument("--size", type=int, default=576)
+    ap.add_argument("--lframe", type=int, default=4)
+    ap.add_argument("--depth", type=float, default=1.0)
+    ap.add_argument("--width", type=float, default=1.0)
+    args = ap.parse_args()
+
+    import optax
+
+    from tscd_tpu.models.tscd import TSCD
+    from tscd_tpu.ops.decode import anchor_centers, decode_outputs
+    from tscd_tpu.ops.position import get_timing_signal_1d
+    from tscd_tpu.ops.simota import simota_assign_batch
+    from tscd_tpu.train.ema import ema_update
+    from tscd_tpu.train.losses import labels_to_padded, tscd_loss
+    from tscd_tpu.train.optim import build_sgd
+    from tscd_tpu.train.step import TrainState, init_train_state
+
+    L = args.lframe
+    F, H, W = args.f, args.size, args.size
+    G = F - L
+    P = 50
+    strides = (8, 16, 32)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (F, H, W, 3)), jnp.float32)
+    te = jnp.asarray(get_timing_signal_1d(np.arange(F), 256), jnp.float32)
+    labels_np = np.zeros((F, 40, 5), np.float32)
+    for f in range(F):
+        for g in range(6):
+            wh = rng.uniform(40, 160, 2)
+            cxy = rng.uniform(wh / 2, args.size - wh / 2)
+            labels_np[f, g] = [rng.integers(0, 30), *cxy, *wh]
+    labels = jnp.asarray(labels_np)
+
+    def build(stop_grad):
+        model = TSCD(num_classes=30, depth=args.depth, width=args.width,
+                     num_proposals=P, heads=4, dtype=jnp.bfloat16,
+                     stop_backbone_grad=stop_grad)
+        variables = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), x, te, L, G))()
+        tx = build_sgd(lambda i: 0.01, freeze_prefixes=("backbone",))
+        state = init_train_state(variables, tx)
+        return model, variables, tx, state
+
+    model, variables, tx, state = build(False)
+
+    def apply_fix_bn(params, bs):
+        return model.apply({"params": params, "batch_stats": bs},
+                           x, te, L, G, False)
+
+    # ---- stage-cut programs (all under the fix_bn stage-2 recipe)
+    def fwd_only(state):
+        out = apply_fix_bn(state.params, state.batch_stats)
+        return (out["refined_cls_logits"], out["matcher_reg_offsets"],
+                out["matcher_obj_logits"])
+
+    def fwd_simota(state):
+        out = apply_fix_bn(state.params, state.batch_stats)
+        raw = out["raw_outputs"].astype(jnp.float32)
+        dec = decode_outputs(raw, out["hw"], strides)
+        gt_boxes, gt_classes, gt_valid = labels_to_padded(labels)
+        xs, ys, ss = anchor_centers(out["hw"], strides)
+        tgt = simota_assign_batch(dec[..., :4], raw[..., 4], raw[..., 5:],
+                                  gt_boxes, gt_classes, gt_valid,
+                                  jnp.asarray(xs), jnp.asarray(ys),
+                                  jnp.asarray(ss))
+        return out["refined_cls_logits"], tgt.fg_mask
+
+    def fwd_loss(state):
+        out = apply_fix_bn(state.params, state.batch_stats)
+        return tscd_loss(out, labels, strides, L)["total_loss"]
+
+    def grad_fn(state):
+        return jax.grad(lambda p: tscd_loss(
+            apply_fix_bn(p, state.batch_stats), labels, strides,
+            L)["total_loss"])(state.params)
+
+    def full_step(state):
+        grads = grad_fn(state)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        ns = state.step + 1
+        return TrainState(
+            params=params, batch_stats=state.batch_stats,
+            opt_state=opt_state,
+            ema_params=ema_update(state.ema_params, params, ns),
+            ema_batch_stats=state.ema_batch_stats, step=ns)
+
+    def force(r):
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32).ravel()[:1]))
+
+    def time_fn(fn):
+        f = jax.jit(fn)
+        r = f(state)
+        force(r)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            r = f(state)
+        force(r)
+        return (time.perf_counter() - t0) * 1000.0 / args.iters
+
+    ms = {}
+    ms["forward"] = time_fn(fwd_only)
+    ms["forward_simota"] = time_fn(fwd_simota)
+    ms["forward_loss"] = time_fn(fwd_loss)
+    ms["grad"] = time_fn(grad_fn)
+    ms["step"] = time_fn(full_step)
+
+    # frozen-backbone fast path
+    model, variables, tx, state = build(True)
+    ms["grad_stopbb"] = time_fn(grad_fn)
+    ms["step_stopbb"] = time_fn(full_step)
+
+    report = {
+        "frames": F, "lframe": L, "size": args.size,
+        "forward_ms": round(ms["forward"], 2),
+        "simota_ms": round(ms["forward_simota"] - ms["forward"], 2),
+        "loss_rest_ms": round(ms["forward_loss"]
+                              - ms["forward_simota"], 2),
+        "backward_ms": round(ms["grad"] - ms["forward_loss"], 2),
+        "opt_ema_ms": round(ms["step"] - ms["grad"], 2),
+        "full_step_ms": round(ms["step"], 2),
+        "full_step_stop_backbone_grad_ms": round(ms["step_stopbb"], 2),
+        "backward_stopbb_ms": round(ms["grad_stopbb"]
+                                    - ms["forward_loss"], 2),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -347,7 +347,7 @@ class ArgoverseVideoDataset(OVISVideoDataset):
 def collate_window(dataset, paths: Sequence[str], max_labels: int = 120,
                    train_time_index: bool = False, cxcywh: bool = False,
                    augment: bool = False, hsv_prob: float = 1.0,
-                   flip_prob: float = 0.5):
+                   flip_prob: float = 0.5, img_dtype=np.float32):
     """Load one (lframe+gframe) window -> numpy batch dict
     (reference collate_fn / collate_fn_train, vid.py:817,838).
 
@@ -377,7 +377,9 @@ def collate_window(dataset, paths: Sequence[str], max_labels: int = 120,
 
     H, W = dataset.img_size
     F = len(paths)
-    imgs = np.full((F, H, W, 3), 114.0, np.float32)
+    # img_dtype=np.uint8 gives the 4x-lighter device transport (pixel
+    # values are integers either way; the backbone casts on-chip)
+    imgs = np.full((F, H, W, 3), 114, img_dtype)
     labels = np.zeros((F, max_labels, 5), np.float32)
     infos, idxs = [], []
     do_hsv = augment and random.random() < hsv_prob
@@ -430,7 +432,8 @@ class WindowLoader:
     def __init__(self, dataset, shuffle: bool = False, max_labels: int = 120,
                  train_time_index: bool = False, cxcywh: bool = False,
                  prefetch: int = 2, augment: bool = False,
-                 hsv_prob: float = 1.0, flip_prob: float = 0.5):
+                 hsv_prob: float = 1.0, flip_prob: float = 0.5,
+                 img_dtype=np.float32):
         self.dataset = dataset
         self.shuffle = shuffle
         self.max_labels = max_labels
@@ -440,6 +443,7 @@ class WindowLoader:
         self.augment = augment
         self.hsv_prob = hsv_prob
         self.flip_prob = flip_prob
+        self.img_dtype = img_dtype
 
     def __len__(self):
         return len(self.dataset.res)
@@ -459,7 +463,8 @@ class WindowLoader:
                                          self.train_time_index, self.cxcywh,
                                          augment=self.augment,
                                          hsv_prob=self.hsv_prob,
-                                         flip_prob=self.flip_prob))
+                                         flip_prob=self.flip_prob,
+                                         img_dtype=self.img_dtype))
             finally:
                 q.put(stop)
 

@@ -66,6 +66,11 @@ class Exp(YoloxExp):
         # jax.checkpoint over the backbone: ~1 extra backward-pass
         # forward buys the window's activation memory (longer F)
         self.remat_backbone = False
+        # the stage-2 backbone is frozen (freeze_prefixes), so skip its
+        # backward entirely — torch does this implicitly via
+        # requires_grad=False (vid_tscd_large.py:111-143); identical
+        # updates, measured ~2x faster train step (PROFILE.md §train)
+        self.stop_backbone_grad = True
         self.reconf = True
         self.ota_mode = True
         self.cat_ota_fg = False
@@ -112,7 +117,8 @@ class Exp(YoloxExp):
                     sim_thresh=self.sim_thresh,
                     conf_sim_thresh=self.conf_sim_thresh, test_conf=0.001,
                     sparse_vid_towers=self.sparse_vid_towers,
-                    remat_backbone=self.remat_backbone)
+                    remat_backbone=self.remat_backbone,
+                    stop_backbone_grad=self.stop_backbone_grad)
 
     def freeze_prefixes(self):
         """Parameter-path prefixes frozen during TSCD stage-2 training

@@ -34,6 +34,12 @@ class YOLOPAFPN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
+        if x.dtype == jnp.uint8:
+            # uint8 transport: letterboxed pixels are integer-exact, so
+            # uploading raw uint8 (4x fewer host->HBM bytes than fp32)
+            # and casting here is bit-identical to the fp32 feed
+            # (tests/test_vid_datasets.py::test_uint8_transport_exact)
+            x = x.astype(jnp.float32)
         dt = self.dtype
         Conv = DWConv if self.depthwise else BaseConv
         ch = [int(c * self.width) for c in self.in_channels]

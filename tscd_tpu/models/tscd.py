@@ -43,6 +43,13 @@ class TSCD(nn.Module):
     # activation memory of the full frame window — enables longer
     # training windows (e.g. F=16 at 576px) on one chip
     remat_backbone: bool = False
+    # stage-2 recipe: the backbone is fully frozen
+    # (vid_tscd_large.py:111-143 sets requires_grad=False, which makes
+    # torch SKIP the backbone backward). The repo's optimizer-mask
+    # freeze still computes those grads; this flag stop_gradients the
+    # FPN outputs instead — identical updates (tests/test_remat.py::
+    # test_stop_backbone_grad_same_updates), backbone backward removed
+    stop_backbone_grad: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -78,6 +85,8 @@ class TSCD(nn.Module):
         cat_ota_fg proposal injection. `stage` is a static profiling cut
         ('backbone' | 'dense' | 'full')."""
         fpn_outs = self.backbone(x, train)
+        if self.stop_backbone_grad:
+            fpn_outs = jax.lax.stop_gradient(fpn_outs)
         if stage == "backbone":
             return fpn_outs
         return self.head(fpn_outs, time_embedding, lframe, gframe,

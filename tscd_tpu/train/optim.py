@@ -69,10 +69,21 @@ def build_sgd(schedule: Callable, momentum: float = 0.9,
         "stem_no_decay": sgd(False, stem_lr_ratio),
         "frozen": optax.set_to_zero(),
     }
-    tx = optax.multi_transform(
-        transforms,
-        lambda params: _label_params(params, tuple(freeze_prefixes),
-                                     tuple(stem_lr_prefixes)))
+    label_fn = lambda params: _label_params(
+        params, tuple(freeze_prefixes), tuple(stem_lr_prefixes))
+    tx = optax.multi_transform(transforms, label_fn)
     if clip_grad_norm is not None:
-        tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
+        # zero frozen-param grads BEFORE the global-norm clip: frozen
+        # grads don't exist at all in the reference (requires_grad=
+        # False), so they must not inflate the clip norm. This also
+        # makes the stop_backbone_grad fast path update-identical
+        # (tests/test_remat.py::test_stop_backbone_grad_same_updates).
+        zero_frozen = optax.multi_transform(
+            {"weight": optax.identity(), "no_decay": optax.identity(),
+             "stem_weight": optax.identity(),
+             "stem_no_decay": optax.identity(),
+             "frozen": optax.set_to_zero()},
+            label_fn)
+        tx = optax.chain(zero_frozen,
+                         optax.clip_by_global_norm(clip_grad_norm), tx)
     return tx

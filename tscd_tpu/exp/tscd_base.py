@@ -66,6 +66,8 @@ class Exp(YoloxExp):
         # jax.checkpoint over the backbone: ~1 extra backward-pass
         # forward buys the window's activation memory (longer F)
         self.remat_backbone = False
+        # eval windows upload as raw uint8 (bit-exact; 4x lighter)
+        self.eval_uint8_transport = True
         # the stage-2 backbone is frozen (freeze_prefixes), so skip its
         # backward entirely — torch does this implicitly via
         # requires_grad=False (vid_tscd_large.py:111-143); identical
@@ -169,10 +171,18 @@ class Exp(YoloxExp):
 
     def get_eval_loader(self, lframe: Optional[int] = None,
                         gframe: Optional[int] = None):
+        import numpy as _np
+
         from ..data.vid import WindowLoader
         ds = self._vid_dataset(True, lframe or self.lframe_val,
                                gframe or self.gframe_val)
-        return WindowLoader(ds, shuffle=False, max_labels=120)
+        # uint8 transport: bit-exact vs fp32 (letterboxed pixels are
+        # integers; the backbone casts on device) at 4x fewer
+        # host->HBM bytes — tests/test_vid_datasets.py::
+        # test_uint8_transport_exact
+        dtype = _np.uint8 if self.eval_uint8_transport else _np.float32
+        return WindowLoader(ds, shuffle=False, max_labels=120,
+                            img_dtype=dtype)
 
     def get_evaluator(self, val_loader=None):
         from ..eval.vid_evaluator import OVISEvaluator, VIDEvaluator

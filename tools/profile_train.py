@@ -31,6 +31,15 @@ def main():
     ap.add_argument("--lframe", type=int, default=4)
     ap.add_argument("--depth", type=float, default=1.0)
     ap.add_argument("--width", type=float, default=1.0)
+    ap.add_argument("--stop-backbone-grad", action="store_true",
+                    help="profile the frozen-backbone fast path instead "
+                    "of the plain step (run in a FRESH process: two "
+                    "models alive at once skews HBM layout/timings)")
+    ap.add_argument("--full-finetune", action="store_true",
+                    help="no frozen prefixes: optimizer updates ALL "
+                    "params, so the backbone backward cannot be "
+                    "dead-code-eliminated through the freeze mask "
+                    "(the stage-1-style full fine-tune cost)")
     args = ap.parse_args()
 
     import optax
@@ -67,11 +76,12 @@ def main():
                      stop_backbone_grad=stop_grad)
         variables = jax.jit(
             lambda: model.init(jax.random.PRNGKey(0), x, te, L, G))()
-        tx = build_sgd(lambda i: 0.01, freeze_prefixes=("backbone",))
+        freeze = () if args.full_finetune else ("backbone",)
+        tx = build_sgd(lambda i: 0.01, freeze_prefixes=freeze)
         state = init_train_state(variables, tx)
         return model, variables, tx, state
 
-    model, variables, tx, state = build(False)
+    model, variables, tx, state = build(args.stop_backbone_grad)
 
     def apply_fix_bn(params, bs):
         return model.apply({"params": params, "batch_stats": bs},
@@ -99,13 +109,23 @@ def main():
         out = apply_fix_bn(state.params, state.batch_stats)
         return tscd_loss(out, labels, strides, L)["total_loss"]
 
-    def grad_fn(state):
+    def raw_grads(state):
         return jax.grad(lambda p: tscd_loss(
             apply_fix_bn(p, state.batch_stats), labels, strides,
             L)["total_loss"])(state.params)
 
+    def grad_fn(state):
+        # reduce the grads tree to ONE scalar: returning the full tree
+        # forces XLA to materialize every grad array into program
+        # outputs (measured +30 ms of pure output layout/copy at
+        # TSCD-Large scale), which the real train step never pays —
+        # its grads feed the optimizer in-program.
+        return jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(g.astype(jnp.float32)),
+            raw_grads(state), 0.0)
+
     def full_step(state):
-        grads = grad_fn(state)
+        grads = raw_grads(state)
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.params)
         params = optax.apply_updates(state.params, updates)
@@ -130,31 +150,50 @@ def main():
         force(r)
         return (time.perf_counter() - t0) * 1000.0 / args.iters
 
+    def time_step_chained(fn):
+        # the trainer's actual loop shape: state donated, the step's
+        # output feeds the next step (no full-state output readback,
+        # buffers reused in place)
+        f = jax.jit(fn, donate_argnums=(0,))
+        s = jax.tree_util.tree_map(jnp.copy, state)
+        s = f(s)
+        force(s.step)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            s = f(s)
+        force(s.step)
+        return (time.perf_counter() - t0) * 1000.0 / args.iters
+
     ms = {}
-    ms["forward"] = time_fn(fwd_only)
-    ms["forward_simota"] = time_fn(fwd_simota)
-    ms["forward_loss"] = time_fn(fwd_loss)
-    ms["grad"] = time_fn(grad_fn)
-    ms["step"] = time_fn(full_step)
-
-    # frozen-backbone fast path
-    model, variables, tx, state = build(True)
-    ms["grad_stopbb"] = time_fn(grad_fn)
-    ms["step_stopbb"] = time_fn(full_step)
-
-    report = {
-        "frames": F, "lframe": L, "size": args.size,
-        "forward_ms": round(ms["forward"], 2),
-        "simota_ms": round(ms["forward_simota"] - ms["forward"], 2),
-        "loss_rest_ms": round(ms["forward_loss"]
-                              - ms["forward_simota"], 2),
-        "backward_ms": round(ms["grad"] - ms["forward_loss"], 2),
-        "opt_ema_ms": round(ms["step"] - ms["grad"], 2),
-        "full_step_ms": round(ms["step"], 2),
-        "full_step_stop_backbone_grad_ms": round(ms["step_stopbb"], 2),
-        "backward_stopbb_ms": round(ms["grad_stopbb"]
-                                    - ms["forward_loss"], 2),
-    }
+    if args.stop_backbone_grad:
+        ms["forward_loss"] = time_fn(fwd_loss)
+        ms["grad"] = time_fn(grad_fn)
+        ms["step"] = time_step_chained(full_step)
+        report = {
+            "frames": F, "lframe": L, "size": args.size,
+            "mode": "stop_backbone_grad",
+            "backward_ms": round(ms["grad"] - ms["forward_loss"], 2),
+            "opt_ema_ms": round(ms["step"] - ms["grad"], 2),
+            "full_step_ms": round(ms["step"], 2),
+        }
+    else:
+        ms["forward"] = time_fn(fwd_only)
+        ms["forward_simota"] = time_fn(fwd_simota)
+        ms["forward_loss"] = time_fn(fwd_loss)
+        ms["grad"] = time_fn(grad_fn)
+        ms["step"] = time_step_chained(full_step)
+        report = {
+            "frames": F, "lframe": L, "size": args.size,
+            "mode": ("full_finetune" if args.full_finetune
+                     else "frozen_backbone_sgd"),
+            "forward_ms": round(ms["forward"], 2),
+            "simota_ms": round(ms["forward_simota"] - ms["forward"], 2),
+            "loss_rest_ms": round(ms["forward_loss"]
+                                  - ms["forward_simota"], 2),
+            "backward_ms": round(ms["grad"] - ms["forward_loss"], 2),
+            "opt_ema_ms": round(ms["step"] - ms["grad"], 2),
+            "full_step_ms": round(ms["step"], 2),
+        }
     print(json.dumps(report))
 
 

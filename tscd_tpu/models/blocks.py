@@ -292,7 +292,13 @@ class _FocusConv(nn.Module):
         scale = gamma / jnp.sqrt(var + 1e-5)
         shift = beta - mean * scale
 
+        from ..ops import banded_stem
         from ..ops.pallas import focus_stem
+        if (jax.default_backend() == "tpu"
+                and banded_stem.supported(H, W, C, k, self.stride,
+                                          self.act)):
+            return banded_stem.focus_stem_banded(x, w3, scale, shift,
+                                                 self.dtype)
         if (jax.default_backend() == "tpu"
                 and focus_stem.supported(H, W, C, k, self.stride,
                                          self.act)):

@@ -1,0 +1,120 @@
+"""int8 (w8a8) serving path: BaseConv lowers its eval forward to an
+int8 MXU conv inside the `int8_eval()` context (per-channel weight
+scales, dynamic per-tensor activation scale, BN folded). Checks: the
+variable tree is unchanged, quantization error is bounded at conv and
+model level, and the flag restores cleanly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tscd_tpu.models.blocks import (BaseConv, int8_eval,
+                                    int8_eval_enabled)
+from tscd_tpu.models.yolox import YOLOX
+
+
+def _rel_l2(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+
+
+def test_context_restores_flag():
+    assert not int8_eval_enabled()
+    with int8_eval():
+        assert int8_eval_enabled()
+        with int8_eval(False):
+            assert not int8_eval_enabled()
+        assert int8_eval_enabled()
+    assert not int8_eval_enabled()
+
+
+def test_baseconv_int8_matches_fp():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 2, (2, 16, 16, 128)), jnp.float32)
+    m = BaseConv(128, 3, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    # make BN stats non-trivial so the fold actually matters
+    variables = {
+        "params": variables["params"],
+        "batch_stats": {"bn": {
+            "mean": jnp.asarray(rng.normal(0, 0.1, 128), jnp.float32),
+            "var": jnp.asarray(rng.uniform(0.5, 2.0, 128), jnp.float32),
+        }},
+    }
+    ref = m.apply(variables, x)
+    with int8_eval():
+        got = m.apply(variables, x)
+    assert got.shape == ref.shape
+    assert _rel_l2(got, ref) < 0.02
+
+
+def test_int8_variable_tree_identical():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 128)), jnp.float32)
+    m = BaseConv(96, 1, dtype=jnp.float32)
+    v_fp = m.init(jax.random.PRNGKey(0), x)
+    with int8_eval():
+        v_q = m.init(jax.random.PRNGKey(0), x)
+    fp_paths = {(jax.tree_util.keystr(k), v.shape) for k, v in
+                jax.tree_util.tree_leaves_with_path(v_fp)}
+    q_paths = {(jax.tree_util.keystr(k), v.shape) for k, v in
+               jax.tree_util.tree_leaves_with_path(v_q)}
+    assert fp_paths == q_paths
+
+
+def test_small_cin_and_train_keep_fp_path():
+    """C_in < INT8_MIN_CIN convs (large-spatial early stages) must not
+    quantize — identical outputs with the flag on and off."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 64)), jnp.float32)
+    m = BaseConv(64, 3, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(variables, x)
+    with int8_eval():
+        got = m.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_yolox_int8_forward_close():
+    """Full YOLOX eval forward fp32 vs int8: decoded outputs stay
+    close (random init, realistic 0-255 image)."""
+    rng = np.random.default_rng(3)
+    m = YOLOX(num_classes=5, depth=0.33, width=0.25, dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 96, 96, 3)), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(variables, x)["decoded"]
+    with int8_eval():
+        got = m.apply(variables, x)["decoded"]
+    assert np.isfinite(np.asarray(got)).all()
+    # boxes (pre-sigmoid geometry) and scores both bounded
+    assert _rel_l2(got[..., :4], ref[..., :4]) < 0.05
+    assert float(np.max(np.abs(np.asarray(got[..., 4:])
+                               - np.asarray(ref[..., 4:])))) < 0.05
+
+
+def test_int8_static_calibration_flow():
+    """quantize_int8 populates per-input-channel scales; the
+    static-scale apply (channel scales folded into the weights) stays
+    at least as close to fp as the per-tensor dynamic path."""
+    from tscd_tpu.models.blocks import quantize_int8
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 2, (2, 16, 16, 128)), jnp.float32)
+    # channel outliers: per-tensor scales smear these, per-channel not
+    x = x.at[..., 7].mul(20.0)
+    m = BaseConv(128, 3, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    v_q = quantize_int8(m.apply, variables, x)
+    scales = jax.tree_util.tree_leaves(v_q["quant"])
+    assert scales and all(s.shape == (128,) for s in scales)
+    assert all(float(jnp.min(s)) > 0 for s in scales)
+
+    ref = m.apply(variables, x)
+    with int8_eval():
+        dyn = m.apply(variables, x)
+    with int8_eval(static=True):
+        st = m.apply(v_q, x)
+    err_static, err_dyn = _rel_l2(st, ref), _rel_l2(dyn, ref)
+    assert err_static < 0.03
+    # equalization must beat per-tensor dynamic on outlier channels
+    assert err_static < err_dyn * 0.5

@@ -43,6 +43,9 @@ def make_parser():
     parser.add_argument("--nms", type=float, default=0.45)
     parser.add_argument("--tsize", type=int, default=None)
     parser.add_argument("--save_result", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="w8a8 int8 serving mode (dynamic "
+                        "activation scales; models/blocks.py int8_eval)")
     parser.add_argument("opts", nargs="*")
     return parser
 
@@ -111,6 +114,9 @@ def main():
     from tscd_tpu.utils.visualize import vis
 
     args = make_parser().parse_args()
+    if getattr(args, "int8", False):
+        from tscd_tpu.models.blocks import set_int8_eval
+        set_int8_eval(True)
     exp = get_exp(args.exp_file, args.name)
     exp.merge(args.opts)
     if args.tsize:

@@ -19,6 +19,9 @@ def make_parser():
     parser.add_argument("--conf", type=float, default=None)
     parser.add_argument("--nms", type=float, default=None)
     parser.add_argument("--tsize", type=int, default=None)
+    parser.add_argument("--int8", action="store_true",
+                        help="w8a8 int8 serving mode (dynamic "
+                        "activation scales; models/blocks.py int8_eval)")
     parser.add_argument("opts", nargs="*")
     return parser
 
@@ -31,6 +34,9 @@ def main():
     from tscd_tpu.train.checkpoint import load_checkpoint, load_tolerant
 
     args = make_parser().parse_args()
+    if getattr(args, "int8", False):
+        from tscd_tpu.models.blocks import set_int8_eval
+        set_int8_eval(True)
     exp = get_exp(args.exp_file, args.name)
     exp.merge(args.opts)
     if args.conf is not None:

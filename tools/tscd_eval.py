@@ -26,6 +26,9 @@ def make_parser():
     parser.add_argument("--tnum", type=int, default=-1)
     parser.add_argument("--output", type=str, default=None,
                         help="optional json dump of per-frame predictions")
+    parser.add_argument("--int8", action="store_true",
+                        help="w8a8 int8 serving mode (dynamic "
+                        "activation scales; models/blocks.py int8_eval)")
     parser.add_argument("opts", nargs="*")
     return parser
 
@@ -38,6 +41,9 @@ def main():
     from tscd_tpu.train.checkpoint import load_checkpoint, load_tolerant
 
     args = make_parser().parse_args()
+    if getattr(args, "int8", False):
+        from tscd_tpu.models.blocks import set_int8_eval
+        set_int8_eval(True)
     exp = get_exp(args.exp_file)
     exp.merge(args.opts)
     if args.dataset:

@@ -37,6 +37,9 @@ def make_parser():
     parser.add_argument("--post", action="store_true",
                         help="REPP tubelet post-processing")
     parser.add_argument("--save_result", action="store_true", default=True)
+    parser.add_argument("--int8", action="store_true",
+                        help="w8a8 int8 serving mode (dynamic "
+                        "activation scales; models/blocks.py int8_eval)")
     parser.add_argument("opts", nargs="*")
     return parser
 
@@ -68,6 +71,9 @@ def main():
     from tscd_tpu.utils.visualize import vis
 
     args = make_parser().parse_args()
+    if getattr(args, "int8", False):
+        from tscd_tpu.models.blocks import set_int8_eval
+        set_int8_eval(True)
     exp = get_exp(args.exp_file)
     exp.merge(args.opts)
     L, G = exp.lframe_val, exp.gframe_val

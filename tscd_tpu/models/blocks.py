@@ -15,6 +15,8 @@ Design notes (TPU-first):
   entirely — the equivalent of the reference's `fuseforward` deploy path.
 """
 
+import contextlib
+import os
 from typing import Any, Callable, Sequence, Tuple
 
 import jax
@@ -23,6 +25,69 @@ import numpy as np
 from flax import linen as nn
 
 Dtype = Any
+
+
+# --- int8 (w8a8) inference mode --------------------------------------
+# Trace-time toggle: BaseConv lowers its eval path to an int8 MXU conv
+# while the flag is on (see BaseConv._int8_forward). The flag is read
+# when the model is TRACED, so wrap the jit/apply call:
+#     with int8_eval():
+#         fn = jax.jit(model.apply); out = fn(variables, x)
+# (or set TSCD_INT8_EVAL=1 for tools). Param/variable trees are
+# unchanged — the same checkpoint serves both precisions.
+_INT8_EVAL = [os.environ.get("TSCD_INT8_EVAL", "0") == "1"]
+
+# Only quantize convs with C_in >= this. Below it the dynamic-quant
+# passes over the (large-spatial, few-channel) activations cost more
+# than the MXU win: measured on v5e, dark2 (C 64-128 at 288px) runs
+# 4.6 ms int8 vs 2.7 ms bf16, while dark3+ (C >= 128) all win
+# (tools/profile_backbone.py, TSCD_INT8_EVAL=1).
+INT8_MIN_CIN = int(os.environ.get("TSCD_INT8_MIN_CIN", "128"))
+
+
+# Activation-scale modes: dynamic (default — per-tensor max computed
+# in-program every call), calibrate (dynamic + record the running max
+# into a `quant` variable collection; apply with mutable=["quant"]),
+# static (read the calibrated scale from the `quant` collection — no
+# per-call max pass, deterministic latency).
+_INT8_STATIC = [os.environ.get("TSCD_INT8_STATIC", "0") == "1"]
+_INT8_CALIB = [False]
+
+
+def int8_eval_enabled() -> bool:
+    return _INT8_EVAL[0]
+
+
+def set_int8_eval(enable: bool) -> None:
+    _INT8_EVAL[0] = bool(enable)
+
+
+@contextlib.contextmanager
+def int8_eval(enable: bool = True, static: bool = False,
+              calibrate: bool = False):
+    """Trace-time int8 serving mode. `calibrate=True` records per-layer
+    activation maxima into the mutable `quant` collection; a later
+    `static=True` trace consumes them instead of computing dynamic
+    scales. See quantize_int8() for the one-call calibration helper."""
+    prev = (_INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0])
+    _INT8_EVAL[0] = bool(enable)
+    _INT8_STATIC[0] = bool(static)
+    _INT8_CALIB[0] = bool(calibrate)
+    try:
+        yield
+    finally:
+        _INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0] = prev
+
+
+def quantize_int8(apply_fn, variables, *sample_args, **apply_kwargs):
+    """Calibrate static int8 activation scales: run `apply_fn`
+    (signature like model.apply) on sample data inside the calibrate
+    context and return `variables` with the populated `quant`
+    collection merged in. Serve with `int8_eval(static=True)`."""
+    with int8_eval(calibrate=True):
+        _, muts = apply_fn(variables, *sample_args,
+                           mutable=["quant"], **apply_kwargs)
+    return {**variables, "quant": muts["quant"]}
 
 
 def get_activation(name: str = "silu") -> Callable[[jax.Array], jax.Array]:
@@ -56,6 +121,9 @@ class BaseConv(nn.Module):
         sparse_towers.py), where 'same' zero-padding semantics are
         reproduced by masking out-of-map patch positions instead."""
         pad = 0 if valid else (self.ksize - 1) // 2
+        if (int8_eval_enabled() and not train and self.groups == 1
+                and x.shape[-1] >= INT8_MIN_CIN):
+            return self._int8_forward(x, pad)
         x = nn.Conv(
             features=self.out_channels,
             kernel_size=(self.ksize, self.ksize),
@@ -77,6 +145,75 @@ class BaseConv(nn.Module):
             )(x)
             x = x.astype(self.dtype)
         return get_activation(self.act)(x)
+
+    def _int8_forward(self, x: jax.Array, pad: int) -> jax.Array:
+        """w8a8 serving path (inside `int8_eval()`): BN folded into the
+        kernel, per-OUTPUT-CHANNEL symmetric int8 weights, per-tensor
+        DYNAMIC symmetric int8 activations (scale = max|x|/127 computed
+        in-program — no calibration pass needed), int32 accumulation on
+        the MXU (~2x bf16 peak on v5e), dequant + bias + activation as
+        the fused epilogue. Variable tree is identical to the fp path
+        (conv/kernel [+bias], bn/*), so any checkpoint runs unchanged.
+
+        No reference counterpart (the reference serves fp16,
+        demo/TensorRT/README.md); TPU-native serving extension."""
+        C_in = x.shape[-1]
+        w, b = _ConvParams((self.ksize, self.ksize, C_in,
+                            self.out_channels), self.use_bias,
+                           name="conv")()
+        if not self.use_bias:
+            gamma, beta, mean, var = _BNStats(self.out_channels,
+                                              name="bn")()
+            s = gamma / jnp.sqrt(var + 1e-5)
+            w_eff = w * s[None, None, None]
+            b_eff = beta - mean * s
+        else:
+            w_eff = w
+            b_eff = b if b is not None else jnp.zeros(
+                (self.out_channels,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        if _INT8_STATIC[0] or _INT8_CALIB[0]:
+            # per-INPUT-CHANNEL calibrated activation maxima: outlier
+            # channels get their own range, and the channel scales fold
+            # into the weight's C_in axis at trace time, so the static
+            # path pays nothing at runtime for the finer granularity
+            act_scale = self.variable(
+                "quant", "act_scale",
+                lambda: jnp.zeros((C_in,), jnp.float32))
+        if _INT8_STATIC[0] and not _INT8_CALIB[0]:
+            # SmoothQuant-style equalization: migrate HALF of each
+            # channel's range disparity into the weights (e_c =
+            # sqrt(s_c / gmean)), then quantize the equalized
+            # activation per-tensor. Outlier channels stop dominating
+            # the activation range without making their weight rows
+            # dominate the per-cout weight range. No per-call max
+            # pass; all folds are on (C,) vectors and the kernel.
+            s_c = jnp.maximum(act_scale.value, 1e-8)  # (C_in,)
+            e_c = jnp.sqrt(s_c / jnp.exp(jnp.mean(jnp.log(s_c))))
+            e_c = jnp.clip(e_c, 1.0 / 16, 16.0)
+            s_t = jnp.max(s_c / e_c)      # scalar per-tensor scale
+            # calibrated scales can under-cover new data: saturate
+            xq = jnp.clip(jnp.round(xf / (e_c * s_t)), -127,
+                          127).astype(jnp.int8)
+            w_eff = w_eff * e_c[None, None, :, None]
+            s_x = s_t
+        else:
+            s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+            if _INT8_CALIB[0]:
+                axes = tuple(range(xf.ndim - 1))
+                act_scale.value = jnp.maximum(
+                    act_scale.value,
+                    jnp.max(jnp.abs(xf), axis=axes) / 127.0)
+            xq = jnp.round(xf / s_x).astype(jnp.int8)
+        s_w = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)),
+                          1e-8) / 127.0
+        wq = jnp.round(w_eff / s_w).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, (self.stride, self.stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (s_x * s_w)[None, None, None] + b_eff
+        return get_activation(self.act)(y.astype(self.dtype))
 
 
 class DWConv(nn.Module):
@@ -227,6 +364,22 @@ class _FocusKernel(nn.Module):
     def __call__(self) -> jax.Array:
         return self.param("kernel", nn.initializers.lecun_normal(),
                           self.shape)
+
+
+class _ConvParams(nn.Module):
+    """Declares nn.Conv's param tree (conv kernel [+ bias]) without
+    running it — the int8 eval path consumes the raw params instead."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.shape[-1],)) if self.use_bias else None)
+        return kernel, bias
 
 
 class _BNStats(nn.Module):

@@ -35,6 +35,12 @@ Dtype = Any
 #         fn = jax.jit(model.apply); out = fn(variables, x)
 # (or set TSCD_INT8_EVAL=1 for tools). Param/variable trees are
 # unchanged — the same checkpoint serves both precisions.
+#
+# CAVEAT (jit cache): jax.jit caches by function identity + argument
+# shapes, NOT by this flag. A function already compiled with the flag
+# off will keep running fp even if called inside int8_eval() — create
+# the jitted function (or at least trigger its first call) INSIDE the
+# context, as above.
 _INT8_EVAL = [os.environ.get("TSCD_INT8_EVAL", "0") == "1"]
 
 # Only quantize convs with C_in >= this. Below it the dynamic-quant

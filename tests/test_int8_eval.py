@@ -118,3 +118,56 @@ def test_int8_static_calibration_flow():
     assert err_static < 0.03
     # equalization must beat per-tensor dynamic on outlier channels
     assert err_static < err_dyn * 0.5
+
+
+def test_int8_scope_frozen_backbone():
+    """Scoped int8 (core/tscd_trainer.py int8_frozen_backbone): only
+    modules under the scope prefixes quantize — a non-matching scope
+    is bit-identical to fp, a backbone scope changes the loss but
+    keeps head gradients finite and nonzero."""
+    import tscd_tpu.models.blocks as blocks
+    from tscd_tpu.models.tscd import TSCD
+    from tscd_tpu.ops.position import get_timing_signal_1d
+    from tscd_tpu.train.losses import tscd_loss
+
+    L, G = 1, 1
+    F, HW = L + G, 64
+    m = TSCD(num_classes=3, depth=0.33, width=0.25, num_proposals=4,
+             heads=2)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(0, 255, (F, HW, HW, 3)), jnp.float32)
+    te = jnp.asarray(get_timing_signal_1d(np.arange(F), 256),
+                     jnp.float32)
+    labels = np.zeros((F, 4, 5), np.float32)
+    labels[:, 0] = [1, 30, 30, 20, 20]
+    labels = jnp.asarray(labels)
+    variables = m.init(jax.random.PRNGKey(0), x, te, L, G)
+
+    def loss_fn(params):
+        out = m.apply({"params": params,
+                       "batch_stats": variables["batch_stats"]},
+                      x, te, L, G, False, labels=labels)
+        return tscd_loss(out, labels, (8, 16, 32), L)["total_loss"]
+
+    old = blocks.INT8_MIN_CIN
+    blocks.INT8_MIN_CIN = 16
+    try:
+        loss_fp, g_fp = jax.value_and_grad(loss_fn)(variables["params"])
+        with int8_eval(scope=(("nonexistent",),)):
+            loss_none = loss_fn(variables["params"])
+        with int8_eval(scope=(("backbone",),)):
+            loss_bb, g_bb = jax.value_and_grad(loss_fn)(
+                variables["params"])
+    finally:
+        blocks.INT8_MIN_CIN = old
+
+    # non-matching scope: int8 never engages -> identical
+    np.testing.assert_array_equal(float(loss_none), float(loss_fp))
+    # backbone scope engages: loss shifts but stays close and finite
+    assert float(loss_bb) != float(loss_fp)
+    assert np.isfinite(float(loss_bb))
+    assert abs(float(loss_bb) - float(loss_fp)) < 0.2 * abs(
+        float(loss_fp))
+    head_g = jax.tree_util.tree_leaves(g_bb["head"])
+    assert all(np.isfinite(np.asarray(t)).all() for t in head_g)
+    assert any(float(jnp.max(jnp.abs(t))) > 0 for t in head_g)

@@ -35,6 +35,9 @@ def main():
                     help="profile the frozen-backbone fast path instead "
                     "of the plain step (run in a FRESH process: two "
                     "models alive at once skews HBM layout/timings)")
+    ap.add_argument("--int8-backbone", action="store_true",
+                    help="run the frozen backbone forward in w8a8 "
+                    "(exp knob int8_frozen_backbone)")
     ap.add_argument("--full-finetune", action="store_true",
                     help="no frozen prefixes: optimizer updates ALL "
                     "params, so the backbone backward cannot be "
@@ -80,6 +83,13 @@ def main():
         tx = build_sgd(lambda i: 0.01, freeze_prefixes=freeze)
         state = init_train_state(variables, tx)
         return model, variables, tx, state
+
+    if args.int8_backbone:
+        import contextlib
+
+        from tscd_tpu.models.blocks import int8_eval
+        _stack = contextlib.ExitStack()
+        _stack.enter_context(int8_eval(scope=(("backbone",),)))
 
     model, variables, tx, state = build(args.stop_backbone_grad)
 
@@ -171,7 +181,8 @@ def main():
         ms["step"] = time_step_chained(full_step)
         report = {
             "frames": F, "lframe": L, "size": args.size,
-            "mode": "stop_backbone_grad",
+            "mode": "stop_backbone_grad"
+                    + ("+int8_backbone" if args.int8_backbone else ""),
             "backward_ms": round(ms["grad"] - ms["forward_loss"], 2),
             "opt_ema_ms": round(ms["step"] - ms["grad"], 2),
             "full_step_ms": round(ms["step"], 2),

@@ -139,6 +139,22 @@ class TSCDTrainer:
                 step=new_step)
             return new_state, losses
 
+        # int8 frozen-backbone stage-2 (opt-in): the frozen backbone's
+        # FORWARD runs w8a8 (models/blocks.py) while the trained video
+        # head stays fp — valid because fix_bn runs the backbone with
+        # train=False and its params receive no updates (freeze mask +
+        # stop_backbone_grad), so the int8 path's round() never needs a
+        # gradient. The head then trains against the same features the
+        # int8 serving path produces.
+        if (getattr(exp, "int8_frozen_backbone", False) and fix_bn
+                and "backbone" in tuple(exp.freeze_prefixes())):
+            from ..models.blocks import int8_eval
+            inner_step = step
+
+            def step(state, frames, labels, time_emb):
+                with int8_eval(scope=(("backbone",),)):
+                    return inner_step(state, frames, labels, time_emb)
+
         self._train_step = jax.jit(step, donate_argnums=(0,))
 
     # -- train ---------------------------------------------------------

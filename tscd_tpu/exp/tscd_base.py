@@ -73,6 +73,11 @@ class Exp(YoloxExp):
         # requires_grad=False (vid_tscd_large.py:111-143); identical
         # updates, measured ~2x faster train step (PROFILE.md §train)
         self.stop_backbone_grad = True
+        # run the frozen backbone's stage-2 forward in int8 (w8a8,
+        # core/tscd_trainer.py): faster step, and the video head trains
+        # against the exact features the int8 serving path produces.
+        # Off by default (the reference recipe is fp).
+        self.int8_frozen_backbone = False
         self.reconf = True
         self.ota_mode = True
         self.cat_ota_fg = False

@@ -59,6 +59,14 @@ INT8_MIN_CIN = int(os.environ.get("TSCD_INT8_MIN_CIN", "128"))
 _INT8_STATIC = [os.environ.get("TSCD_INT8_STATIC", "0") == "1"]
 _INT8_CALIB = [False]
 
+# Optional module-path scope: when set (tuple of path prefixes, e.g.
+# (("backbone",),)), only BaseConvs whose flax scope path starts with
+# one of the prefixes quantize. Used by the stage-2 trainers to run the
+# FROZEN backbone's forward in int8 while the trained video head stays
+# fp (the int8 path's round() has no useful gradient; frozen modules
+# receive none).
+_INT8_SCOPE = [None]
+
 
 def int8_eval_enabled() -> bool:
     return _INT8_EVAL[0]
@@ -70,19 +78,33 @@ def set_int8_eval(enable: bool) -> None:
 
 @contextlib.contextmanager
 def int8_eval(enable: bool = True, static: bool = False,
-              calibrate: bool = False):
+              calibrate: bool = False, scope=None):
     """Trace-time int8 serving mode. `calibrate=True` records per-layer
     activation maxima into the mutable `quant` collection; a later
     `static=True` trace consumes them instead of computing dynamic
-    scales. See quantize_int8() for the one-call calibration helper."""
-    prev = (_INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0])
+    scales (see quantize_int8() for the one-call helper). `scope`
+    restricts quantization to modules under the given flax path
+    prefixes, e.g. scope=(("backbone",),) for a frozen-backbone train
+    step."""
+    prev = (_INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0],
+            _INT8_SCOPE[0])
     _INT8_EVAL[0] = bool(enable)
     _INT8_STATIC[0] = bool(static)
     _INT8_CALIB[0] = bool(calibrate)
+    _INT8_SCOPE[0] = (tuple(tuple(p) for p in scope)
+                      if scope is not None else None)
     try:
         yield
     finally:
-        _INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0] = prev
+        (_INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0],
+         _INT8_SCOPE[0]) = prev
+
+
+def _int8_in_scope(module: nn.Module) -> bool:
+    if _INT8_SCOPE[0] is None:
+        return True
+    path = tuple(module.scope.path) if module.scope is not None else ()
+    return any(path[:len(p)] == p for p in _INT8_SCOPE[0])
 
 
 def quantize_int8(apply_fn, variables, *sample_args, **apply_kwargs):
@@ -128,7 +150,8 @@ class BaseConv(nn.Module):
         reproduced by masking out-of-map patch positions instead."""
         pad = 0 if valid else (self.ksize - 1) // 2
         if (int8_eval_enabled() and not train and self.groups == 1
-                and x.shape[-1] >= INT8_MIN_CIN):
+                and x.shape[-1] >= INT8_MIN_CIN
+                and _int8_in_scope(self)):
             return self._int8_forward(x, pad)
         x = nn.Conv(
             features=self.out_channels,

@@ -88,3 +88,69 @@ class Exp(B):
     # eval path: scores must come out finite, COCO pipeline runs
     res_ap = trainer.evaluate()
     assert isinstance(res_ap, float)
+
+
+@pytest.mark.slow
+def test_tscd_e2e_int8_frozen_backbone(tmp_path):
+    """Stage-2 recipe with int8_frozen_backbone=True through the real
+    TSCDTrainer: fix_bn + frozen backbone + scoped w8a8 backbone
+    forward (core/tscd_trainer.py). Asserts the jitted step runs, the
+    loss is finite, and frozen backbone params are untouched while
+    head params move."""
+    import jax
+    import tscd_tpu.models.blocks as blocks
+
+    root = _make_vid_dataset(str(tmp_path / "vid"))
+    exp_file = tmp_path / "tiny_int8_exp.py"
+    exp_file.write_text(f"""
+import os
+from tscd_tpu.exp.tscd_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = 0.33, 0.125
+        self.num_classes = 30
+        self.minimal_limit = 8
+        self.heads = 2
+        self.lframe, self.gframe = 1, 3
+        self.lframe_val, self.gframe_val = 1, 3
+        self.input_size = self.test_size = (96, 128)
+        self.max_epoch = 1
+        self.eval_interval = 10
+        self.data_dir = {root!r}
+        self.train_seq_path = os.path.join({root!r}, "train_seq.npy")
+        self.val_seq_path = os.path.join({root!r}, "val_seq.npy")
+        self.output_dir = {str(tmp_path / "out")!r}
+        self.exp_name = "tiny_e2e_int8bb"
+        self.int8_frozen_backbone = True   # fix_bn stays True (stage-2)
+        self.seed = 0
+""")
+    from tscd_tpu.exp import get_exp
+    exp = get_exp(str(exp_file))
+    assert exp.fix_bn and "backbone" in exp.freeze_prefixes()
+    old = blocks.INT8_MIN_CIN
+    blocks.INT8_MIN_CIN = 16   # tiny width: let its convs quantize
+    try:
+        trainer = exp.get_trainer(None)
+        state = trainer.train()
+    finally:
+        blocks.INT8_MIN_CIN = old
+    assert int(state.step) >= 1
+    # frozen backbone: raw params never move (set_to_zero updates), so
+    # EMA tracks them to within fp ulps (d*p + (1-d)*p rounds); the
+    # trained head diverges from its EMA by orders of magnitude more
+    for (k1, p), (k2, e) in zip(
+            jax.tree_util.tree_leaves_with_path(
+                state.params["backbone"]),
+            jax.tree_util.tree_leaves_with_path(
+                state.ema_params["backbone"])):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(e),
+                                   rtol=1e-5, atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(k1))
+    # head params moved
+    moved = any(
+        float(np.max(np.abs(np.asarray(p) - np.asarray(e)))) > 0
+        for p, e in zip(
+            jax.tree_util.tree_leaves(state.params["head"]),
+            jax.tree_util.tree_leaves(state.ema_params["head"])))
+    assert moved

@@ -40,10 +40,10 @@ class Exp(B):
         self.num_classes = 2
         self.input_size = self.test_size = (96, 128)
         self.batch_size = 8
-        self.max_epoch = 100
+        self.max_epoch = 150
         self.no_aug_epochs = 100
         self.eval_interval = 1000
-        self.basic_lr_per_img = 0.4 / 64
+        self.basic_lr_per_img = 0.25 / 64
         self.warmup_epochs = 5
         self.data_dir = {root!r}
         self.train_name = self.val_name = "train2017"
@@ -51,6 +51,7 @@ class Exp(B):
         self.exp_name = "tiny_int8_e2e"
         self.enable_mixup = False
         self.mosaic_prob = 0.0
+        self.flip_prob = 0.0
         self.seed = 0
 """)
     exp = get_exp(str(exp_file))
@@ -61,10 +62,10 @@ class Exp(B):
     evaluator = exp.get_evaluator()
 
     res_fp = evaluator.evaluate(trainer.make_predict_fn(variables))
-    assert res_fp["AP50"] > 0.9, "training failed; bound would be vacuous"
+    assert res_fp["AP50"] > 0.85, "training failed; bound would be vacuous"
 
-    old = blocks.INT8_MIN_CIN
-    blocks.INT8_MIN_CIN = 16
+    old = (blocks.INT8_MIN_CIN, blocks.INT8_MIN_CIN_STATIC)
+    blocks.INT8_MIN_CIN = blocks.INT8_MIN_CIN_STATIC = 16
     try:
         with int8_eval():
             res_dyn = evaluator.evaluate(
@@ -87,7 +88,7 @@ class Exp(B):
         with int8_eval(static=True):
             res_st = evaluator.evaluate(trainer.make_predict_fn(vq))
     finally:
-        blocks.INT8_MIN_CIN = old
+        blocks.INT8_MIN_CIN, blocks.INT8_MIN_CIN_STATIC = old
 
     for name, res in (("dynamic", res_dyn), ("static", res_st)):
         assert res["AP50"] >= res_fp["AP50"] - 0.05, (

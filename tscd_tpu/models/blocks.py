@@ -43,12 +43,22 @@ Dtype = Any
 # context, as above.
 _INT8_EVAL = [os.environ.get("TSCD_INT8_EVAL", "0") == "1"]
 
-# Only quantize convs with C_in >= this. Below it the dynamic-quant
-# passes over the (large-spatial, few-channel) activations cost more
-# than the MXU win: measured on v5e, dark2 (C 64-128 at 288px) runs
-# 4.6 ms int8 vs 2.7 ms bf16, while dark3+ (C >= 128) all win
-# (tools/profile_backbone.py, TSCD_INT8_EVAL=1).
+# Only quantize convs with C_in >= this (mode-dependent). DYNAMIC
+# scales pay a per-call max pass over the activation, so
+# large-spatial few-channel convs lose: dark2 (C 64-128 at 288px)
+# runs 4.6 ms int8-dynamic vs 2.7 ms bf16, dark3+ (C >= 128) win
+# (tools/profile_backbone.py). STATIC calibrated scales have no max
+# pass, and dark2 then wins too: the full TSCD step measures 1090 fps
+# at min_cin 32 vs 1065 at 128 (bench.py).
 INT8_MIN_CIN = int(os.environ.get("TSCD_INT8_MIN_CIN", "128"))
+INT8_MIN_CIN_STATIC = int(os.environ.get("TSCD_INT8_MIN_CIN_STATIC",
+                                         "32"))
+
+
+def _int8_min_cin() -> int:
+    # calibration must cover every layer the static trace will use
+    return (INT8_MIN_CIN_STATIC if (_INT8_STATIC[0] or _INT8_CALIB[0])
+            else INT8_MIN_CIN)
 
 
 # Activation-scale modes: dynamic (default — per-tensor max computed
@@ -150,7 +160,7 @@ class BaseConv(nn.Module):
         reproduced by masking out-of-map patch positions instead."""
         pad = 0 if valid else (self.ksize - 1) // 2
         if (int8_eval_enabled() and not train and self.groups == 1
-                and x.shape[-1] >= INT8_MIN_CIN
+                and x.shape[-1] >= _int8_min_cin()
                 and _int8_in_scope(self)):
             return self._int8_forward(x, pad)
         x = nn.Conv(

@@ -211,6 +211,13 @@ class BaseConv(nn.Module):
             b_eff = b if b is not None else jnp.zeros(
                 (self.out_channels,), jnp.float32)
         xf = x.astype(jnp.float32)
+        if (_INT8_STATIC[0] and not _INT8_CALIB[0]
+                and not self.has_variable("quant", "act_scale")):
+            raise ValueError(
+                "int8_eval(static=True) needs calibrated activation "
+                "scales: run quantize_int8(model.apply, variables, "
+                "*sample_batch) first and pass its returned variables "
+                "(with the 'quant' collection) to apply")
         if _INT8_STATIC[0] or _INT8_CALIB[0]:
             # per-INPUT-CHANNEL calibrated activation maxima: outlier
             # channels get their own range, and the channel scales fold

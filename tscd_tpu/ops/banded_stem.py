@@ -40,6 +40,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# banded-weight construction + the lax.conv oracle/backward are shared
+# with the Pallas kernel (same math, different lowering)
+from .pallas.focus_stem import (_band_mask, _rearrange_w,
+                                _xla_reference)
+
 TJ = 16          # output columns per strip
 LANES = 128      # strip width (6*TJ + 12 = 108 used, padded to 128)
 
@@ -60,40 +65,6 @@ def supported(h: int, w: int, c: int, ksize: int, stride: int,
     return (AUTO_ENABLE
             and c == 3 and ksize == 3 and stride == 1 and act == "silu"
             and h % 2 == 0 and (w // 2) % TJ == 0)
-
-
-def _rearrange_w(w3: jax.Array, c: int, out_ch: int) -> jax.Array:
-    """(3, 3, 4C, out) Focus kernel -> (36C, out) im2col matrix in
-    (ky, kx, c) tap order; s2d channel order is (dx*2+dy)*C + c."""
-    w6 = w3.reshape(3, 3, 2, 2, c, out_ch)            # (u, v, dx, dy, c, o)
-    w6 = w6.transpose(0, 3, 1, 2, 4, 5)               # (u, dy, v, dx, c, o)
-    return w6.reshape(36 * c, out_ch)
-
-
-@functools.lru_cache(maxsize=4)
-def _band_mask() -> np.ndarray:
-    """One-hot M[ky, l, t, j]: lane l = 6j + t of kernel row ky."""
-    m = np.zeros((6, LANES, 18, TJ), np.float32)
-    for j in range(TJ):
-        for t in range(18):
-            m[:, 6 * j + t, t, j] = 1.0
-    return m
-
-
-def _xla_reference(x, w3, scale, shift, out_dtype,
-                   compute_dtype=jnp.float32):
-    """Same math via lax.conv — backward pass + test oracle."""
-    B, H, W, C = x.shape
-    out_ch = w3.shape[-1]
-    w6 = _rearrange_w(w3, C, out_ch).reshape(6, 6, C, out_ch)
-    y = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        (w6 * scale[None, None, None]).astype(compute_dtype),
-        window_strides=(2, 2), padding=[(2, 2), (2, 2)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    y = y + shift[None, None, None]
-    return (y * jax.nn.sigmoid(y)).astype(out_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

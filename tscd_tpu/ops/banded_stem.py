@@ -38,7 +38,6 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # banded-weight construction + the lax.conv oracle/backward are shared
 # with the Pallas kernel (same math, different lowering)

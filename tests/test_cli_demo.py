@@ -1,0 +1,65 @@
+"""CLI surface smoke: tools/demo.py run as a real subprocess on a
+synthetic image + tiny checkpoint, in fp and in --int8 serving mode
+(the flag path through make_parser -> set_int8_eval -> Predictor's jit
+trace)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("extra", [[], ["--int8"]])
+def test_demo_cli_image(tmp_path, extra):
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    img = np.full((96, 128, 3), 80, np.uint8)
+    cv2.rectangle(img, (30, 20), (80, 60), (255, 255, 255), -1)
+    img_path = str(tmp_path / "in.jpg")
+    cv2.imwrite(img_path, img)
+
+    exp_file = tmp_path / "tiny_demo_exp.py"
+    exp_file.write_text(f"""
+from tscd_tpu.exp.yolox_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = 0.33, 0.125
+        self.num_classes = 2
+        self.test_size = (96, 128)
+        self.output_dir = {str(tmp_path / "out")!r}
+        self.exp_name = "tiny_demo"
+""")
+    # tiny checkpoint from a fresh init
+    sys.path.insert(0, REPO)
+    from tscd_tpu.exp import get_exp
+    from tscd_tpu.train.checkpoint import save_checkpoint
+
+    exp = get_exp(str(exp_file))
+    m = exp.get_model()
+    variables = m.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 96, 128, 3), jnp.float32),
+                       False, False)
+    ckpt = save_checkpoint(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, str(tmp_path))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "demo.py"), "image",
+         "-f", str(exp_file), "-c", ckpt, "--path", img_path,
+         "--save_result"] + extra,
+        capture_output=True, text=True, timeout=400, env=env,
+        cwd=REPO)
+    assert r.returncode == 0, f"demo failed:\n{r.stderr[-2000:]}"
+    vis_dir = os.path.join(exp.output_dir, "tiny_demo", "vis_res")
+    outs = [os.path.join(dp, f) for dp, _, fs in os.walk(vis_dir)
+            for f in fs]
+    assert outs, "no visualization written"

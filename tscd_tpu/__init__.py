@@ -13,3 +13,19 @@ context-aware decoupling), designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Honor an explicit JAX_PLATFORMS request even when a site plugin
+# (e.g. a remote-TPU sitecustomize) pins its own platform priority
+# before user code runs: the env var is jax's documented selector, and
+# every CLI under tools/ relies on it for host-only / CI runs. No-op
+# when unset or once the backend is already initialized.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms",
+                           _os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass

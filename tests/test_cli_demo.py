@@ -63,3 +63,61 @@ class Exp(B):
     outs = [os.path.join(dp, f) for dp, _, fs in os.walk(vis_dir)
             for f in fs]
     assert outs, "no visualization written"
+
+
+@pytest.mark.slow
+def test_tscd_demo_cli_int8(tmp_path):
+    """tools/tscd_demo.py as a subprocess on a synthetic image folder
+    with a tiny TSCD exp + init checkpoint, in --int8 mode."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for i in range(4):
+        img = np.full((96, 128, 3), 90, np.uint8)
+        cv2.rectangle(img, (20 + 2 * i, 15), (70 + 2 * i, 55),
+                      (255, 255, 255), -1)
+        cv2.imwrite(str(frames_dir / f"{i:06d}.jpg"), img)
+
+    exp_file = tmp_path / "tiny_tscd_demo_exp.py"
+    exp_file.write_text("""
+from tscd_tpu.exp.tscd_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = 0.33, 0.125
+        self.num_classes = 30
+        self.minimal_limit = 8
+        self.heads = 2
+        self.lframe_val, self.gframe_val = 1, 3
+        self.test_size = (96, 128)
+        self.exp_name = "tiny_tscd_demo"
+""")
+    sys.path.insert(0, REPO)
+    from tscd_tpu.exp import get_exp
+    from tscd_tpu.ops.position import get_timing_signal_1d
+    from tscd_tpu.train.checkpoint import save_checkpoint
+
+    exp = get_exp(str(exp_file))
+    m = exp.get_model()
+    te = jnp.asarray(get_timing_signal_1d(np.arange(4), 256),
+                     jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0),
+                       jnp.zeros((4, 96, 128, 3), jnp.float32), te, 1, 3)
+    ckpt = save_checkpoint(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, str(tmp_path))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out_dir = str(tmp_path / "demo_out")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "tscd_demo.py"),
+         "-f", str(exp_file), "-c", ckpt, "--path", str(frames_dir),
+         "--output_dir", out_dir, "--int8"],
+        capture_output=True, text=True, timeout=480, env=env, cwd=REPO)
+    assert r.returncode == 0, f"tscd_demo failed:\n{r.stderr[-2000:]}"
+    outs = [os.path.join(dp, f) for dp, _, fs in os.walk(out_dir)
+            for f in fs]
+    assert outs, "no demo output written"

@@ -81,3 +81,39 @@ def test_stablehlo_export_roundtrip():
     # separate compilations of the same program: tiny fp rounding drift
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_stablehlo_export_int8_roundtrip():
+    """The int8 serving forward exports to StableHLO and round-trips:
+    dynamic scales + int8 convs are all inside the artifact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jax_export
+
+    import tscd_tpu.models.blocks as blocks
+    from tscd_tpu.models.blocks import int8_eval
+    from tscd_tpu.models.yolox import YOLOX
+
+    m = YOLOX(num_classes=3, depth=0.33, width=0.25, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    def fwd(img):
+        return m.apply(variables, img, False, True)["decoded"]
+
+    old = blocks.INT8_MIN_CIN
+    blocks.INT8_MIN_CIN = 16
+    try:
+        with int8_eval():
+            exported = jax_export.export(jax.jit(fwd))(
+                jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32))
+            want = np.asarray(fwd(x))
+    finally:
+        blocks.INT8_MIN_CIN = old
+    blob = exported.serialize()
+    restored = jax_export.deserialize(blob)
+    got = np.asarray(restored.call(x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # the artifact really contains the int8 lowering
+    assert "i8" in str(exported.mlir_module())

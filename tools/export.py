@@ -32,6 +32,9 @@ def make_parser():
                    help="export the TSCD streaming step: "
                         "(frames, time_emb, matcher_state) -> "
                         "(refined dets, original dets, new state)")
+    p.add_argument("--int8", action="store_true",
+                   help="export the w8a8 int8 serving forward (dynamic "
+                        "activation scales baked into the artifact)")
     p.add_argument("opts", nargs="*")
     return p
 
@@ -106,6 +109,11 @@ def main():
     from tscd_tpu.train.checkpoint import load_checkpoint, load_tolerant
 
     args = make_parser().parse_args()
+    if getattr(args, "int8", False):
+        # trace-time flag: set for the whole process so both export
+        # paths trace the quantized forward (models/blocks.py)
+        from tscd_tpu.models.blocks import set_int8_eval
+        set_int8_eval(True)
     exp = get_exp(args.exp_file, args.name)
     exp.merge(args.opts)
     if args.tsize:

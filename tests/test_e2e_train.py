@@ -91,12 +91,13 @@ class Exp(B):
 
 
 @pytest.mark.slow
-def test_tscd_e2e_int8_frozen_backbone(tmp_path):
-    """Stage-2 recipe with int8_frozen_backbone=True through the real
-    TSCDTrainer: fix_bn + frozen backbone + scoped w8a8 backbone
-    forward (core/tscd_trainer.py). Asserts the jitted step runs, the
-    loss is finite, and frozen backbone params are untouched while
-    head params move."""
+@pytest.mark.parametrize("knob", ["int8_frozen_backbone", "int8_qat"])
+def test_tscd_e2e_int8_frozen_backbone(tmp_path, knob):
+    """Stage-2 recipe with the int8 training knobs through the real
+    TSCDTrainer: fix_bn + frozen backbone, with either the scoped w8a8
+    backbone forward or full fake-quant QAT (core/tscd_trainer.py).
+    Asserts the jitted step runs, the loss is finite, and frozen
+    backbone params are untouched while head params move."""
     import jax
     import tscd_tpu.models.blocks as blocks
 
@@ -122,7 +123,7 @@ class Exp(B):
         self.val_seq_path = os.path.join({root!r}, "val_seq.npy")
         self.output_dir = {str(tmp_path / "out")!r}
         self.exp_name = "tiny_e2e_int8bb"
-        self.int8_frozen_backbone = True   # fix_bn stays True (stage-2)
+        self.{knob} = True   # fix_bn stays True (stage-2)
         self.seed = 0
 """)
     from tscd_tpu.exp import get_exp

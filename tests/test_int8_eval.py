@@ -171,3 +171,40 @@ def test_int8_scope_frozen_backbone():
     head_g = jax.tree_util.tree_leaves(g_bb["head"])
     assert all(np.isfinite(np.asarray(t)).all() for t in head_g)
     assert any(float(jnp.max(jnp.abs(t))) > 0 for t in head_g)
+
+
+def test_int8_qat_fake_quant():
+    """QAT mode (int8_eval(qat=True)): forward equals the real int8
+    path bit-for-bit at this size (f32 accumulation is exact below
+    2^24), and STE gradients flow — close to the fp-path gradients."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 2, (2, 8, 8, 128)), jnp.float32)
+    m = BaseConv(64, 3, dtype=jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    with int8_eval():
+        y_int8 = m.apply(variables, x)
+    with int8_eval(qat=True):
+        y_qat = m.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(y_qat), np.asarray(y_int8),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(params, x, ctx_kwargs):
+        with int8_eval(**ctx_kwargs):
+            y = m.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]}, x)
+        return jnp.sum(y ** 2)
+
+    g_fp = jax.grad(loss)(variables["params"], x,
+                          {"enable": False})
+    g_qat = jax.grad(loss)(variables["params"], x, {"qat": True})
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_qat),
+            jax.tree_util.tree_leaves_with_path(g_fp)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.abs(a).max() > 0, f"zero QAT grad {k1}"
+        cos = (a * b).sum() / max(
+            np.linalg.norm(a) * np.linalg.norm(b), 1e-12)
+        assert cos > 0.95, (
+            f"QAT grad misaligned with fp grad for "
+            f"{jax.tree_util.keystr(k1)}: cos={cos}")

@@ -154,6 +154,17 @@ class TSCDTrainer:
             def step(state, frames, labels, time_emb):
                 with int8_eval(scope=(("backbone",),)):
                     return inner_step(state, frames, labels, time_emb)
+        elif getattr(exp, "int8_qat", False) and fix_bn:
+            # quantization-aware fine-tune: every eligible conv runs
+            # fake-quant with STE gradients (models/blocks.py), so the
+            # trained weights adapt to the int8 serving noise; serve
+            # the checkpoint with --int8 afterwards
+            from ..models.blocks import int8_eval
+            inner_step = step
+
+            def step(state, frames, labels, time_emb):
+                with int8_eval(qat=True):
+                    return inner_step(state, frames, labels, time_emb)
 
         self._train_step = jax.jit(step, donate_argnums=(0,))
 

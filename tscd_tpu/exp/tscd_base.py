@@ -78,6 +78,12 @@ class Exp(YoloxExp):
         # against the exact features the int8 serving path produces.
         # Off by default (the reference recipe is fp).
         self.int8_frozen_backbone = False
+        # quantization-aware fine-tune: all eligible convs run
+        # fake-quant with STE gradients during the fix_bn stage-2 step
+        # (models/blocks.py int8_eval(qat=True)); serve the resulting
+        # checkpoint with --int8. Mutually exclusive with
+        # int8_frozen_backbone (that one wins if both are set).
+        self.int8_qat = False
         self.reconf = True
         self.ota_mode = True
         self.cat_ota_fg = False

@@ -68,6 +68,16 @@ def _int8_min_cin() -> int:
 # per-call max pass, deterministic latency).
 _INT8_STATIC = [os.environ.get("TSCD_INT8_STATIC", "0") == "1"]
 _INT8_CALIB = [False]
+# QAT: fake-quant in float with straight-through-estimator gradients —
+# same quantization noise as the int8 path but differentiable, so a
+# fix_bn training step can fine-tune weights against it (then serve
+# through the real int8 path). Enable via int8_eval(qat=True).
+_INT8_QAT = [False]
+
+
+def _ste_round(v: jax.Array) -> jax.Array:
+    """round() with a straight-through gradient (identity backward)."""
+    return v + jax.lax.stop_gradient(jnp.round(v) - v)
 
 # Optional module-path scope: when set (tuple of path prefixes, e.g.
 # (("backbone",),)), only BaseConvs whose flax scope path starts with
@@ -88,26 +98,29 @@ def set_int8_eval(enable: bool) -> None:
 
 @contextlib.contextmanager
 def int8_eval(enable: bool = True, static: bool = False,
-              calibrate: bool = False, scope=None):
+              calibrate: bool = False, scope=None, qat: bool = False):
     """Trace-time int8 serving mode. `calibrate=True` records per-layer
     activation maxima into the mutable `quant` collection; a later
     `static=True` trace consumes them instead of computing dynamic
     scales (see quantize_int8() for the one-call helper). `scope`
     restricts quantization to modules under the given flax path
     prefixes, e.g. scope=(("backbone",),) for a frozen-backbone train
-    step."""
+    step. `qat=True` swaps the int8 conv for differentiable fake-quant
+    (STE) so a fix_bn train step can fine-tune against quantization
+    noise."""
     prev = (_INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0],
-            _INT8_SCOPE[0])
+            _INT8_SCOPE[0], _INT8_QAT[0])
     _INT8_EVAL[0] = bool(enable)
     _INT8_STATIC[0] = bool(static)
     _INT8_CALIB[0] = bool(calibrate)
     _INT8_SCOPE[0] = (tuple(tuple(p) for p in scope)
                       if scope is not None else None)
+    _INT8_QAT[0] = bool(qat)
     try:
         yield
     finally:
         (_INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0],
-         _INT8_SCOPE[0]) = prev
+         _INT8_SCOPE[0], _INT8_QAT[0]) = prev
 
 
 def _int8_in_scope(module: nn.Module) -> bool:
@@ -238,9 +251,7 @@ class BaseConv(nn.Module):
             e_c = jnp.sqrt(s_c / jnp.exp(jnp.mean(jnp.log(s_c))))
             e_c = jnp.clip(e_c, 1.0 / 16, 16.0)
             s_t = jnp.max(s_c / e_c)      # scalar per-tensor scale
-            # calibrated scales can under-cover new data: saturate
-            xq = jnp.clip(jnp.round(xf / (e_c * s_t)), -127,
-                          127).astype(jnp.int8)
+            x_scale = e_c * s_t           # (C_in,) per-channel
             w_eff = w_eff * e_c[None, None, :, None]
             s_x = s_t
         else:
@@ -250,14 +261,30 @@ class BaseConv(nn.Module):
                 act_scale.value = jnp.maximum(
                     act_scale.value,
                     jnp.max(jnp.abs(xf), axis=axes) / 127.0)
-            xq = jnp.round(xf / s_x).astype(jnp.int8)
+            x_scale = s_x
         s_w = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)),
                           1e-8) / 127.0
-        wq = jnp.round(w_eff / s_w).astype(jnp.int8)
-        y = jax.lax.conv_general_dilated(
-            xq, wq, (self.stride, self.stride), [(pad, pad), (pad, pad)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32)
+        dims = dict(window_strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if _INT8_QAT[0]:
+            # QAT: fake-quant in float with straight-through-estimator
+            # gradients (scales stop-gradiented, clip saturates the
+            # gradient like real int8 would). Trains at bf16 speed;
+            # serve the result through the real int8 path.
+            s_x = jax.lax.stop_gradient(s_x)
+            s_w = jax.lax.stop_gradient(s_w)
+            x_scale = jax.lax.stop_gradient(x_scale)
+            xq = jnp.clip(_ste_round(xf / x_scale), -127.0, 127.0)
+            wq = _ste_round(w_eff / s_w)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, preferred_element_type=jnp.float32, **dims)
+        else:
+            xq = jnp.clip(jnp.round(xf / x_scale), -127,
+                          127).astype(jnp.int8)
+            wq = jnp.round(w_eff / s_w).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, wq, preferred_element_type=jnp.int32, **dims)
         y = y.astype(jnp.float32) * (s_x * s_w)[None, None, None] + b_eff
         return get_activation(self.act)(y.astype(self.dtype))
 

@@ -20,6 +20,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -32,8 +33,95 @@ import numpy as np
 
 BASELINE_FPS = 69.0  # YOLOX-L V100 fp16, docs/model_zoo.md:9 (14.5 ms/img)
 
+METRIC = "tscd_large_576_eval_fps"
+
+# The axon-tunneled TPU worker goes down for ~15 min when it crashes
+# (CLAUDE.md); a bench attempt against a down worker can HANG for ~30
+# minutes before the UNAVAILABLE error surfaces (VERDICT r3 missing #1).
+# So: (a) gate every attempt on a cheap subprocess probe with a hard
+# deadline, (b) retry with a backoff sized to the worker recovery,
+# (c) on final failure emit ONE structured JSON line so BENCH_rN is
+# machine-readable either way.
+PROBE_TIMEOUT_S = int(os.environ.get("TSCD_BENCH_PROBE_TIMEOUT", "180"))
+ATTEMPTS = int(os.environ.get("TSCD_BENCH_ATTEMPTS", "4"))
+BACKOFF_S = int(os.environ.get("TSCD_BENCH_BACKOFF", "300"))
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "x = jnp.ones((8, 8));"
+    "print(float((x @ x).sum()))"
+)
+
+
+def probe_backend() -> str:
+    """Run a tiny device op in a SUBPROCESS with a hard deadline.
+
+    Returns '' on success, else a one-line error description. A
+    subprocess is the only reliable deadline here: an in-process jax
+    call against a down axon worker blocks uninterruptibly.
+    """
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, text=True,
+                           timeout=PROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return f"probe timed out after {PROBE_TIMEOUT_S}s (worker hung)"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return "probe failed: " + (tail[-1] if tail else
+                                   f"rc={r.returncode}")
+    return ""
+
+
+def toolchain_versions() -> dict:
+    """jax/jaxlib/backend versions so a perf move between rounds is
+    attributable to the toolchain vs the code (VERDICT r3 weak #5)."""
+    info = {"jax": jax.__version__}
+    try:
+        import jaxlib
+        info["jaxlib"] = jaxlib.__version__
+    except Exception:
+        pass
+    try:
+        backend = jax.extend.backend.get_backend()
+        info["backend_platform"] = backend.platform
+        info["backend_version"] = str(
+            getattr(backend, "platform_version", ""))[:120]
+    except Exception:
+        pass
+    return info
+
 
 def main():
+    err = None
+    for attempt in range(ATTEMPTS):
+        if attempt:
+            print(f"retrying in {BACKOFF_S}s (attempt "
+                  f"{attempt + 1}/{ATTEMPTS}): {err}", file=sys.stderr)
+            time.sleep(BACKOFF_S)
+        err = probe_backend()
+        if err:
+            continue
+        try:
+            run_bench()
+            return
+        except Exception as e:  # worker can fault mid-run; retry
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            err = f"bench attempt raised {type(e).__name__}: {e}"
+    print(json.dumps({
+        "metric": METRIC,
+        "value": None,
+        "unit": "frames/sec",
+        "vs_baseline": None,
+        "error": err,
+        "attempts": ATTEMPTS,
+        "versions": toolchain_versions(),
+    }))
+    sys.exit(1)
+
+
+def run_bench():
     from tscd_tpu.models.matching import init_matcher_state
     from tscd_tpu.models.tscd import TSCD
     from tscd_tpu.ops.position import get_timing_signal_1d
@@ -194,12 +282,13 @@ def main():
             int8 = {"int8_error": repr(e)}
 
     print(json.dumps({
-        "metric": "tscd_large_576_eval_fps",
+        "metric": METRIC,
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "stages_ms": stages,
         **int8,
+        "versions": toolchain_versions(),
     }))
 
 

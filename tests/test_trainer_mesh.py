@@ -1,0 +1,161 @@
+"""Trainer-level multi-device product path (the TPU replacement for the
+reference's in-trainer DDP, yolox/core/launch.py:39 +
+yolox/core/tscd_trainer.py:231): the SAME TSCDTrainer that runs
+single-device reads the `mesh_data`/`mesh_model`/`fsdp` exp knobs,
+builds a jax.sharding.Mesh, batches windows, and trains on it.
+
+Equality oracle: DP over 2 mesh shards == single-device window_batch=2
+(identical math, identical data order) — final params and step count
+must match. FSDP and DP x TP must produce the same trained params too
+(state layout changes, semantics must not)."""
+
+import os
+import random
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tests.test_e2e_train import _make_vid_dataset  # noqa: E402
+
+
+def _write_exp(tmp_path, root, name, **knobs):
+    lines = "\n".join(f"        self.{k} = {v!r}" for k, v in knobs.items())
+    exp_file = tmp_path / f"{name}.py"
+    exp_file.write_text(f"""
+import os
+from tscd_tpu.exp.tscd_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = 0.33, 0.125
+        self.num_classes = 30
+        self.minimal_limit = 8
+        self.heads = 2
+        self.lframe, self.gframe = 1, 3
+        self.lframe_val, self.gframe_val = 1, 3
+        self.input_size = self.test_size = (96, 128)
+        self.max_epoch = 1
+        self.eval_interval = 10
+        self.hsv_prob = 0.0
+        self.flip_prob = 0.0
+        self.data_dir = {str(root)!r}
+        self.train_seq_path = os.path.join({str(root)!r}, "train_seq.npy")
+        self.val_seq_path = os.path.join({str(root)!r}, "val_seq.npy")
+        self.output_dir = {str(tmp_path / "out")!r}
+        self.exp_name = {name!r}
+        self.fix_bn = False
+        self.seed = 0
+{lines}
+""")
+    return str(exp_file)
+
+
+def _run_trainer(exp_file):
+    from tscd_tpu.exp import get_exp
+    random.seed(0)
+    np.random.seed(0)
+    exp = get_exp(exp_file)
+    trainer = exp.get_trainer(None)
+    state = trainer.train()
+    return trainer, state
+
+
+def _host_params(state):
+    import jax
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(state.params))
+
+
+def _assert_tree_close(a, b, rtol=2e-5, atol=1e-6):
+    import jax
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.slow
+def test_trainer_dp_mesh_matches_single_device(tmp_path):
+    """mesh_data=2 through TSCDTrainer == single-device window_batch=2."""
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=1,
+                             n_frames=4)
+    base_f = _write_exp(tmp_path, root, "base_wb2", window_batch=2)
+    dp_f = _write_exp(tmp_path, root, "dp2", mesh_data=2)
+
+    t_base, s_base = _run_trainer(base_f)
+    t_dp, s_dp = _run_trainer(dp_f)
+    assert t_base.mesh is None and t_base.window_batch == 2
+    assert t_dp.mesh is not None and t_dp.mesh.shape["data"] == 2
+    assert int(s_base.step) == int(s_dp.step) >= 1
+    _assert_tree_close(_host_params(s_base), _host_params(s_dp))
+    _assert_tree_close(
+        {"ema": s_base.ema_params}, {"ema": s_dp.ema_params})
+
+
+@pytest.mark.slow
+def test_trainer_fsdp_and_tp_match_dp(tmp_path):
+    """fsdp=True and mesh_model=2 change the state LAYOUT only: trained
+    params equal the plain window_batch baseline; the state actually
+    lands sharded."""
+    import jax
+    from jax.sharding import PartitionSpec as PS
+
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=1,
+                             n_frames=4)
+    base_f = _write_exp(tmp_path, root, "base_wb2b", window_batch=2)
+    fsdp_f = _write_exp(tmp_path, root, "fsdp2", mesh_data=2, fsdp=True)
+    tp_f = _write_exp(tmp_path, root, "dp2tp2", mesh_data=2,
+                      mesh_model=2)
+
+    _, s_base = _run_trainer(base_f)
+    base_params = _host_params(s_base)
+
+    t_fsdp, s_fsdp = _run_trainer(fsdp_f)
+    assert any(
+        getattr(p, "sharding", None) is not None and p.sharding.spec != PS()
+        for p in jax.tree_util.tree_leaves(s_fsdp.params)), (
+        "FSDP trainer produced no sharded param leaf")
+    _assert_tree_close(base_params, _host_params(s_fsdp))
+
+    t_tp, s_tp = _run_trainer(tp_f)
+    assert t_tp.mesh.shape["model"] == 2
+
+    def _on_model_axis(spec):
+        return any(e == "model" or (isinstance(e, tuple) and "model" in e)
+                   for e in spec)
+
+    assert any(
+        getattr(p, "sharding", None) is not None
+        and _on_model_axis(p.sharding.spec)
+        for p in jax.tree_util.tree_leaves(s_tp.params)), (
+        "TP trainer produced no model-sharded param leaf")
+    _assert_tree_close(base_params, _host_params(s_tp))
+
+
+def test_window_loader_batch_windows(tmp_path):
+    """batch_windows stacks B windows on a leading axis and drops the
+    last partial group (static shapes for the mesh step)."""
+    from tscd_tpu.data.vid import VIDDataset, WindowLoader
+
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=1,
+                             n_frames=5)
+    ds = VIDDataset(file_path=os.path.join(root, "train_seq.npy"),
+                    img_size=(96, 128), lframe=1, gframe=3, val=False,
+                    mode="random", dataset_pth=root, training=True)
+    n = len(ds.res)
+    assert n >= 3
+    loader = WindowLoader(ds, shuffle=False, batch_windows=2,
+                          train_time_index=True, cxcywh=True)
+    assert len(loader) == n // 2
+    batches = list(loader)
+    assert len(batches) == n // 2
+    b = batches[0]
+    assert b["imgs"].shape[:2] == (2, 4)
+    assert b["labels"].shape[0] == 2
+    assert b["time_embedding"].shape == (2, 4, 256)
+    assert len(b["paths"]) == 2 and len(b["paths"][0]) == 4

@@ -23,6 +23,13 @@ def make_parser():
     parser.add_argument("-c", "--ckpt", type=str, default=None)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--fp16", action="store_true")
+    parser.add_argument("--mesh-data", type=int, default=None,
+                        help="data-parallel mesh axis (-1 = all devices);"
+                             " replaces the reference's -d/--devices")
+    parser.add_argument("--mesh-model", type=int, default=None,
+                        help="tensor-parallel mesh axis (DP x TP)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params/momenta/EMA over `data`")
     parser.add_argument("opts", nargs="*")
     return parser
 
@@ -33,6 +40,12 @@ def main():
     exp.merge(args.opts)
     if args.batch_size:
         exp.batch_size = args.batch_size
+    if args.mesh_data is not None:
+        exp.mesh_data = args.mesh_data
+    if args.mesh_model is not None:
+        exp.mesh_model = args.mesh_model
+    if args.fsdp:
+        exp.fsdp = True
     if args.experiment_name:
         exp.exp_name = args.experiment_name
     if exp.seed is not None:

@@ -29,6 +29,11 @@ def make_parser():
     parser.add_argument("--int8", action="store_true",
                         help="w8a8 int8 serving mode (dynamic "
                         "activation scales; models/blocks.py int8_eval)")
+    parser.add_argument("--sp", type=int, default=0,
+                        help="sequence-parallel eval over N devices: the "
+                        "frame axis of each window shards across a mesh "
+                        "(parallel/sharded_eval.py); lframe+gframe must "
+                        "divide by N")
     parser.add_argument("opts", nargs="*")
     return parser
 
@@ -71,9 +76,17 @@ def main():
         "batch_stats": load_tolerant(variables.get("batch_stats", {}),
                                      restored.get("batch_stats", {}))}
 
+    sp_mesh = None
+    if args.sp and args.sp > 1:
+        from tscd_tpu.parallel.mesh import make_mesh
+        F = exp.lframe_val + exp.gframe_val
+        assert F % args.sp == 0, (
+            f"--sp {args.sp} must divide lframe_val+gframe_val={F}")
+        sp_mesh = make_mesh(num_data=args.sp)
+
     evaluator = exp.get_evaluator(loader)
     predict = trainer.make_predict_fn(variables, exp.lframe_val,
-                                      exp.gframe_val)
+                                      exp.gframe_val, sp_mesh=sp_mesh)
     res = evaluator.evaluate(predict)
     print(res.get("mAP"), res.get("AP50"))
     if args.output:

@@ -3,6 +3,13 @@
 Iteration-driven: infinite BatchLoader, jitted train step (forward +
 SimOTA + losses + backward + SGD + EMA in ONE XLA program), mosaic off +
 L1 on for the last no_aug epochs, per-epoch checkpoint + eval.
+
+Multi-chip: the `mesh_data`/`mesh_model`/`fsdp` exp knobs (or the
+tools/train.py flags) build a mesh and jit the SAME step with the image
+batch sharded along `data` (parallel/trainer_mesh.py) — the TPU
+replacement for the reference's launch()/DDP (yolox/core/launch.py:39).
+BN batch means become global means under GSPMD, so sync-BN is by
+construction (vs the reference's allreduce_norm.py:97 before eval only).
 """
 
 import datetime
@@ -33,6 +40,13 @@ class Trainer:
         self.start_epoch = 0
         self.model = exp.get_model()
         self.state: Optional[TrainState] = None
+        from ..parallel.trainer_mesh import mesh_from_exp
+        self.mesh = mesh_from_exp(exp)
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            assert exp.batch_size % nd == 0, (
+                f"batch_size({exp.batch_size}) must divide evenly over "
+                f"mesh_data({nd})")
 
     def _init_state(self, sample):
         exp = self.exp
@@ -73,12 +87,18 @@ class Trainer:
         it = iter(loader)
         sample = next(it)
         self._init_state(sample)
-        step_aug = jax.jit(make_yolox_train_step(
-            self.model, self.tx, use_l1=False, ema_decay=exp.ema_decay),
-            donate_argnums=(0,))
-        step_l1 = jax.jit(make_yolox_train_step(
-            self.model, self.tx, use_l1=True, ema_decay=exp.ema_decay),
-            donate_argnums=(0,))
+        from ..parallel.trainer_mesh import jit_trainer_step, place_state
+        fsdp = bool(getattr(exp, "fsdp", False))
+        if self.mesh is not None:
+            self.state = place_state(self.state, self.mesh, fsdp)
+        step_aug = jit_trainer_step(
+            make_yolox_train_step(self.model, self.tx, use_l1=False,
+                                  ema_decay=exp.ema_decay),
+            self.state, self.mesh, fsdp=fsdp, num_data_args=2)
+        step_l1 = jit_trainer_step(
+            make_yolox_train_step(self.model, self.tx, use_l1=True,
+                                  ema_decay=exp.ema_decay),
+            self.state, self.mesh, fsdp=fsdp, num_data_args=2)
 
         for epoch in range(self.start_epoch, exp.max_epoch):
             no_aug = epoch >= exp.max_epoch - exp.no_aug_epochs
@@ -103,8 +123,13 @@ class Trainer:
                     imgs_np, labels_np = multiscale_resize(
                         np.asarray(imgs_np), np.asarray(labels_np),
                         self._ms_size)
-                frames = jax.device_put(jnp.asarray(imgs_np))
-                labels = jax.device_put(jnp.asarray(labels_np))
+                if self.mesh is not None:
+                    from ..parallel.mesh import shard_batch
+                    frames, labels = shard_batch(self.mesh, (
+                        jnp.asarray(imgs_np), jnp.asarray(labels_np)))
+                else:
+                    frames = jax.device_put(jnp.asarray(imgs_np))
+                    labels = jax.device_put(jnp.asarray(labels_np))
                 data_time = time.time() - data_t0
                 t0 = time.time()
                 self.state, losses = step_fn(self.state, frames, labels)

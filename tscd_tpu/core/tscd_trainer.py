@@ -3,9 +3,22 @@
 One jitted XLA program per train step (forward + SimOTA + losses +
 backward + grouped SGD + EMA). The reference's CUDA-stream prefetcher is
 the WindowLoader background thread + async device_put; AMP autocast is
-bf16 by construction; DDP is the data-parallel mesh (single-window
-training on one chip mirrors the reference, which pins WORLD_SIZE=1 for
-TSCD, tools/tscd_train.py:10-13).
+bf16 by construction.
+
+Multi-chip training is a PRODUCT path here (the TPU replacement for the
+reference's launch()/DDP wrap, yolox/core/launch.py:39 +
+tscd_trainer.py:231): set the exp knobs `mesh_data` / `mesh_model` /
+`fsdp` (or the matching tools/tscd_train.py flags) and the trainer
+builds a jax.sharding.Mesh, the loader yields a batch of `mesh_data`
+windows per step (one window per data shard — the analogue of the
+reference's per-GPU batch split, yolox_base.py:183), the step vmaps the
+per-window loss and means BN stats across windows (sync-BN), and the
+step is jitted with the matching in/out shardings
+(parallel/trainer_mesh.py); gradient all-reduce, FSDP
+all-gather/reduce-scatter and TP activation collectives fall out of
+GSPMD. Defaults (mesh_data=1) keep the single-chip path bit-identical
+to before. Equality vs the single-device trainer is pinned by
+tests/test_trainer_mesh.py.
 """
 
 import datetime
@@ -44,6 +57,18 @@ class TSCDTrainer:
         self.state: Optional[TrainState] = None
         self._train_step = None
         self._eval_fn = None
+        # trainer mesh from the exp knobs (None = single device, the
+        # default); window_batch = windows per optimizer step (0 = one
+        # per data shard)
+        from ..parallel.trainer_mesh import mesh_from_exp
+        self.mesh = mesh_from_exp(exp)
+        wb = int(getattr(exp, "window_batch", 0) or 0)
+        self.window_batch = wb or (self.mesh.shape["data"]
+                                   if self.mesh is not None else 1)
+        if self.mesh is not None:
+            assert self.window_batch % self.mesh.shape["data"] == 0, (
+                f"window_batch({self.window_batch}) must divide evenly "
+                f"over mesh_data({self.mesh.shape['data']})")
 
     # -- setup ---------------------------------------------------------
     def _init_variables(self, x, te, L, G):
@@ -53,8 +78,12 @@ class TSCDTrainer:
     def _init_state(self, sample_batch):
         exp = self.exp
         F = self.lframe + self.gframe
-        x = jnp.asarray(sample_batch["imgs"][:F])
-        te = jnp.asarray(sample_batch["time_embedding"][:F])
+        imgs_np = sample_batch["imgs"]
+        te_np = sample_batch["time_embedding"]
+        if self.window_batch > 1:       # [B, F, ...] -> first window
+            imgs_np, te_np = imgs_np[0], te_np[0]
+        x = jnp.asarray(imgs_np[:F])
+        te = jnp.asarray(te_np[:F])
         variables = self._init_variables(x, te, self.lframe, self.gframe)
 
         ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
@@ -86,7 +115,11 @@ class TSCDTrainer:
             print(f"loaded fine-tune weights from {ckpt_path}")
 
         iters = max(len(self.train_loader), 1)
-        self.tx = exp.get_optimizer(iters)
+        try:
+            self.tx = exp.get_optimizer(iters,
+                                        window_batch=self.window_batch)
+        except TypeError:  # custom exp without the window_batch kwarg
+            self.tx = exp.get_optimizer(iters)
         self.state = init_train_state(variables, self.tx)
         if self.start_epoch:
             self.state = self.state._replace(
@@ -100,28 +133,54 @@ class TSCDTrainer:
         fix_bn = getattr(exp, "fix_bn", False)
         import optax
 
+        batched = self.window_batch > 1
+
+        def window_losses(params, batch_stats, frames, labels, time_emb):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if fix_bn:
+                # frozen-backbone stage-2: BN in eval mode everywhere,
+                # no stat updates (reference fix_bn semantics).
+                # cat_ota_fg still needs the train-path proposal
+                # injection, so pass labels with train=False: the
+                # head gates injection on labels presence + its
+                # cat_ota_fg attribute
+                out = model.apply(variables, frames, time_emb, L, G,
+                                  False, labels=labels)
+                new_bs = batch_stats
+            else:
+                out, mut = model.apply(variables, frames, time_emb, L,
+                                       G, True, labels=labels,
+                                       mutable=["batch_stats"])
+                new_bs = mut["batch_stats"]
+            losses = tscd_loss(out, labels, (8, 16, 32), L,
+                               ota_mode=getattr(exp, "ota_mode", True))
+            return losses, new_bs
+
         def step(state: TrainState, frames, labels, time_emb):
             def loss_fn(params):
-                variables = {"params": params,
-                             "batch_stats": state.batch_stats}
+                if not batched:
+                    losses, new_bs = window_losses(
+                        params, state.batch_stats, frames, labels,
+                        time_emb)
+                    return losses["total_loss"], (losses, new_bs)
                 if fix_bn:
-                    # frozen-backbone stage-2: BN in eval mode everywhere,
-                    # no stat updates (reference fix_bn semantics).
-                    # cat_ota_fg still needs the train-path proposal
-                    # injection, so pass labels with train=False: the
-                    # head gates injection on labels presence + its
-                    # cat_ota_fg attribute
-                    out = model.apply(variables, frames, time_emb, L, G,
-                                      False, labels=labels)
+                    losses_b = jax.vmap(
+                        lambda f, l, t: window_losses(
+                            params, state.batch_stats, f, l, t)[0]
+                    )(frames, labels, time_emb)
                     new_bs = state.batch_stats
                 else:
-                    out, mut = model.apply(variables, frames, time_emb, L,
-                                           G, True, labels=labels,
-                                           mutable=["batch_stats"])
-                    new_bs = mut["batch_stats"]
-                losses = tscd_loss(out, labels, (8, 16, 32), L,
-                                   ota_mode=getattr(exp, "ota_mode",
-                                                    True))
+                    losses_b, bs_b = jax.vmap(
+                        lambda f, l, t: window_losses(
+                            params, state.batch_stats, f, l, t)
+                    )(frames, labels, time_emb)
+                    # cross-window BN-stat mean — under the data mesh
+                    # GSPMD turns this into the sync-BN all-reduce
+                    # (reference allreduce_norm.py:97)
+                    new_bs = jax.tree_util.tree_map(
+                        lambda a: a.mean(0), bs_b)
+                losses = jax.tree_util.tree_map(lambda a: a.mean(0),
+                                                losses_b)
                 return losses["total_loss"], (losses, new_bs)
 
             (_, (losses, new_bs)), grads = jax.value_and_grad(
@@ -166,12 +225,24 @@ class TSCDTrainer:
                 with int8_eval(qat=True):
                     return inner_step(state, frames, labels, time_emb)
 
-        self._train_step = jax.jit(step, donate_argnums=(0,))
+        from ..parallel.trainer_mesh import jit_trainer_step, place_state
+        fsdp = bool(getattr(exp, "fsdp", False))
+        if self.mesh is not None:
+            self.state = place_state(self.state, self.mesh, fsdp)
+        self._train_step = jit_trainer_step(step, self.state, self.mesh,
+                                            fsdp=fsdp, num_data_args=3)
 
     # -- train ---------------------------------------------------------
     def train(self):
         exp = self.exp
-        self.train_loader = exp.get_data_loader()
+        try:
+            self.train_loader = exp.get_data_loader(
+                batch_windows=self.window_batch)
+        except TypeError:  # custom exp without the batch_windows kwarg
+            assert self.window_batch == 1, (
+                "mesh_data/window_batch > 1 needs a get_data_loader "
+                "that accepts batch_windows")
+            self.train_loader = exp.get_data_loader()
         first = next(iter(self.train_loader))
         self._init_state(first)
         self._build_train_step()
@@ -199,8 +270,13 @@ class TSCDTrainer:
 
     def _one_iter(self, batch, epoch, n, iters_per_epoch, data_t0):
         F = self.lframe + self.gframe
-        imgs_np = batch["imgs"][:F]
-        labels_np = batch["labels"][:F]
+        B = self.window_batch
+        if B > 1:  # [B, F, ...] window batch
+            imgs_np, labels_np = batch["imgs"], batch["labels"]
+            te_np = batch["time_embedding"]
+        else:
+            imgs_np, labels_np = batch["imgs"][:F], batch["labels"][:F]
+            te_np = batch["time_embedding"][:F]
         if getattr(self.exp, "enable_multiscale", False):
             # re-sample every 10 iters (reference trainer's multiscale
             # cadence); each size is a separately-cached compile
@@ -210,12 +286,28 @@ class TSCDTrainer:
                 self._ms_size = self.exp.random_input_size(
                     _random.Random(int(self.state.step) if self.state
                                    is not None else 0))
-            imgs_np, labels_np = multiscale_resize(
-                np.asarray(imgs_np), np.asarray(labels_np), self._ms_size)
-        frames = jax.device_put(jnp.asarray(imgs_np))
-        labels = jax.device_put(jnp.asarray(labels_np))
-        te = jax.device_put(jnp.asarray(
-            batch["time_embedding"][:F], jnp.float32))
+            imgs_np = np.asarray(imgs_np)
+            labels_np = np.asarray(labels_np)
+            if B > 1:  # resize operates per-frame: flatten the window axis
+                bf = imgs_np.shape[:2]
+                ri, rl = multiscale_resize(
+                    imgs_np.reshape((-1,) + imgs_np.shape[2:]),
+                    labels_np.reshape((-1,) + labels_np.shape[2:]),
+                    self._ms_size)
+                imgs_np = ri.reshape(bf + ri.shape[1:])
+                labels_np = rl.reshape(bf + rl.shape[1:])
+            else:
+                imgs_np, labels_np = multiscale_resize(
+                    imgs_np, labels_np, self._ms_size)
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+            frames, labels, te = shard_batch(self.mesh, (
+                jnp.asarray(imgs_np), jnp.asarray(labels_np),
+                jnp.asarray(te_np, jnp.float32)))
+        else:
+            frames = jax.device_put(jnp.asarray(imgs_np))
+            labels = jax.device_put(jnp.asarray(labels_np))
+            te = jax.device_put(jnp.asarray(te_np, jnp.float32))
         data_time = time.time() - data_t0
         t0 = time.time()
         self.state, losses = self._train_step(self.state, frames, labels,
@@ -242,9 +334,22 @@ class TSCDTrainer:
                   f"ETA {eta} | {loss_str}")
 
     # -- eval ------------------------------------------------------------
-    def _build_eval_fn(self, lframe, gframe):
+    def _build_eval_fn(self, lframe, gframe, sp_mesh=None):
         model = self.model
         C = self.exp.num_classes
+        if sp_mesh is not None:
+            # sequence-parallel eval: frame axis sharded over the mesh
+            # (per-frame convs stay on their shard, only proposal
+            # features ride the all-gather) — parallel/sharded_eval.py
+            from ..parallel.sharded_eval import make_sharded_tscd_eval
+            inner = make_sharded_tscd_eval(model, sp_mesh, lframe,
+                                           gframe, C)
+
+            def eval_fn(variables, x, te, st):
+                (refined, original), new_st = inner(variables, x, te, st)
+                return refined, original, new_st
+
+            return eval_fn
 
         @jax.jit
         def eval_fn(variables, x, te, st):
@@ -254,14 +359,14 @@ class TSCDTrainer:
 
         return eval_fn
 
-    def make_predict_fn(self, variables, lframe, gframe):
+    def make_predict_fn(self, variables, lframe, gframe, sp_mesh=None):
         """Returns predict_fn(imgs, te, resume, state) for VIDEvaluator.
 
         Also exposes `.dispatch` / `.materialize` so the evaluator can
         pipeline: dispatch window i+1 (async upload + compute) before
         materializing window i's results to the host — the JAX analogue
         of the reference's CUDA-stream DataPrefetcher overlap."""
-        eval_fn = self._build_eval_fn(lframe, gframe)
+        eval_fn = self._build_eval_fn(lframe, gframe, sp_mesh=sp_mesh)
         P = self.exp.minimal_limit
         hidden = int(256 * self.exp.width)
         fresh = init_matcher_state(P, hidden, 4 * hidden)

@@ -433,7 +433,7 @@ class WindowLoader:
                  train_time_index: bool = False, cxcywh: bool = False,
                  prefetch: int = 2, augment: bool = False,
                  hsv_prob: float = 1.0, flip_prob: float = 0.5,
-                 img_dtype=np.float32):
+                 img_dtype=np.float32, batch_windows: int = 1):
         self.dataset = dataset
         self.shuffle = shuffle
         self.max_labels = max_labels
@@ -444,27 +444,50 @@ class WindowLoader:
         self.hsv_prob = hsv_prob
         self.flip_prob = flip_prob
         self.img_dtype = img_dtype
+        # batch_windows > 1 stacks B collated windows on a new leading
+        # axis (imgs [B,F,H,W,3], ...) — the data-parallel unit for the
+        # trainer mesh (one window per 'data' shard, the TPU analogue of
+        # the reference's one-batch-per-GPU DDP split, yolox_base.py:183).
+        # The last partial group is dropped so every step has the same
+        # static shape.
+        self.batch_windows = max(int(batch_windows), 1)
 
     def __len__(self):
-        return len(self.dataset.res)
+        return len(self.dataset.res) // self.batch_windows
 
     def __iter__(self):
         seqs = list(self.dataset.res)
         if self.shuffle:
             random.shuffle(seqs)
+        B = self.batch_windows
+        if B > 1:
+            seqs = seqs[:len(seqs) - (len(seqs) % B)]
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
 
+        def one(paths):
+            return collate_window(self.dataset, paths, self.max_labels,
+                                  self.train_time_index, self.cxcywh,
+                                  augment=self.augment,
+                                  hsv_prob=self.hsv_prob,
+                                  flip_prob=self.flip_prob,
+                                  img_dtype=self.img_dtype)
+
         def worker():
             try:
-                for paths in seqs:
-                    q.put(collate_window(self.dataset, paths,
-                                         self.max_labels,
-                                         self.train_time_index, self.cxcywh,
-                                         augment=self.augment,
-                                         hsv_prob=self.hsv_prob,
-                                         flip_prob=self.flip_prob,
-                                         img_dtype=self.img_dtype))
+                if B == 1:
+                    for paths in seqs:
+                        q.put(one(paths))
+                else:
+                    for i in range(0, len(seqs), B):
+                        ws = [one(p) for p in seqs[i:i + B]]
+                        q.put({
+                            "imgs": np.stack([w["imgs"] for w in ws]),
+                            "labels": np.stack([w["labels"] for w in ws]),
+                            "time_embedding": np.stack(
+                                [w["time_embedding"] for w in ws]),
+                            "infos": [w["infos"] for w in ws],
+                            "paths": [w["paths"] for w in ws]})
             finally:
                 q.put(stop)
 

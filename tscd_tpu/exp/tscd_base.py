@@ -21,7 +21,9 @@ class Exp(YoloxExp):
         self.width = 1.0
         self.input_size = (576, 576)
         self.test_size = (576, 576)
-        self.multiscale_range = 3          # ±3×32 (tscd_base random_resize)
+        self.multiscale_range = 3          # ±3×64 (tscd_base random_resize)
+        self.multiscale_step = 64          # video rule: 64-px steps
+                                           # (reference tscd_base.py:388-392)
         # video window construction (tscd_base.py:38-126)
         self.lframe = 4
         self.gframe = 12
@@ -84,6 +86,10 @@ class Exp(YoloxExp):
         # checkpoint with --int8. Mutually exclusive with
         # int8_frozen_backbone (that one wins if both are set).
         self.int8_qat = False
+        # windows per optimizer step (0 = auto: one per `data` mesh
+        # shard). >1 on a single device = window-batched step (vmapped
+        # loss, averaged grads) — the same math the DP mesh runs.
+        self.window_batch = 0
         self.reconf = True
         self.ota_mode = True
         self.cat_ota_fg = False
@@ -144,9 +150,17 @@ class Exp(YoloxExp):
         return ("head/stem_", "head/cls_conv_", "head/reg_conv_",
                 "head/cls_pred_", "head/reg_pred_", "head/obj_pred_")
 
-    def get_optimizer(self, iters_per_epoch: int):
+    def get_optimizer(self, iters_per_epoch: int, window_batch: int = 1):
         from ..train.optim import build_sgd
-        return build_sgd(self.get_lr_schedule(iters_per_epoch),
+        sched = self.get_lr_schedule(iters_per_epoch)
+        if window_batch > 1:
+            # reference LR rule: lr = basic_lr_per_img x GLOBAL batch
+            # (yolox_base.py:183 splits batch_size over world_size, the
+            # schedule uses the global size). batch_size here is ONE
+            # window's frames, so B windows/step scales the schedule by B.
+            base_sched = sched
+            sched = lambda i: base_sched(i) * window_batch  # noqa: E731
+        return build_sgd(sched,
                          momentum=self.momentum,
                          weight_decay=self.weight_decay,
                          freeze_prefixes=self.freeze_prefixes(),
@@ -172,13 +186,14 @@ class Exp(YoloxExp):
             cache_file=self.anno_cache, formal=val)
 
     def get_data_loader(self, batch_size: Optional[int] = None,
-                        no_aug: bool = False):
+                        no_aug: bool = False, batch_windows: int = 1):
         from ..data.vid import WindowLoader
         ds = self._vid_dataset(False, self.lframe, self.gframe)
         return WindowLoader(ds, shuffle=True, max_labels=120,
                             train_time_index=True, cxcywh=True,
                             augment=not no_aug, hsv_prob=self.hsv_prob,
-                            flip_prob=self.flip_prob)
+                            flip_prob=self.flip_prob,
+                            batch_windows=batch_windows)
 
     def get_eval_loader(self, lframe: Optional[int] = None,
                         gframe: Optional[int] = None):

@@ -23,6 +23,16 @@ class Exp(BaseExp):
         self.width = 1.00
         self.act = "silu"
         self.depthwise = False
+        # trainer mesh (parallel/trainer_mesh.py) — the product knobs for
+        # multi-chip training, replacing the reference's launch()/DDP
+        # (yolox/core/launch.py:39, tscd_trainer.py:231):
+        #   mesh_data  — data-parallel axis size (-1 = all devices/model)
+        #   mesh_model — tensor-parallel axis size (DP x TP when > 1)
+        #   fsdp       — shard params/momenta/EMA over the data axis
+        # Defaults leave every config single-device, exactly as before.
+        self.mesh_data = 1
+        self.mesh_model = 1
+        self.fsdp = False
         # data
         self.data_dir = "./datasets/COCO"
         self.train_ann = "instances_train2017.json"
@@ -31,6 +41,7 @@ class Exp(BaseExp):
         self.val_name = "val2017"
         self.input_size = (640, 640)
         self.multiscale_range = 5
+        self.multiscale_step = 32        # still-image rule: ±range x32
         self.enable_multiscale = False   # each size = one cached compile
         self.data_num_workers = 4
         self.flip_prob = 0.5
@@ -146,9 +157,13 @@ class Exp(BaseExp):
 
     def random_input_size(self, rng: random.Random) -> Tuple[int, int]:
         """Multiscale candidate (reference random_resize,
-        yolox_base.py:205): base/32 ± multiscale_range, step 32. With jit
-        this selects among a small set of pre-compiled programs."""
-        base = self.input_size[0] // 32
-        size = rng.randint(base - self.multiscale_range,
-                           base + self.multiscale_range) * 32
-        return (size, size)
+        yolox_base.py:205 step 32; video exps override the step to 64,
+        exps/TSCD_VID/tscd_base.py:388-392). With jit this selects among
+        a small set of pre-compiled programs. Preserves the reference's
+        aspect handling: the second dim scales by the size_factor."""
+        step = self.multiscale_step
+        base = self.input_size[0] // step
+        k = rng.randint(base - self.multiscale_range,
+                        base + self.multiscale_range)
+        size_factor = self.input_size[1] / self.input_size[0]
+        return (step * k, step * int(k * size_factor))

@@ -12,7 +12,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _make_coco(root, n_imgs=8, size=(96, 128)):
+def _make_coco(root, n_imgs=8, size=(96, 128), n_categories=2):
     import cv2
     h, w = size
     os.makedirs(os.path.join(root, "train2017"), exist_ok=True)
@@ -32,8 +32,8 @@ def _make_coco(root, n_imgs=8, size=(96, 128)):
         ann_id += 1
     os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
     coco = {"images": images, "annotations": annotations,
-            "categories": [{"id": 1, "name": "thing"},
-                           {"id": 2, "name": "other"}]}
+            "categories": [{"id": c + 1, "name": f"cat{c}"}
+                           for c in range(n_categories)]}
     for name in ("instances_train2017.json", "instances_val2017.json"):
         with open(os.path.join(root, "annotations", name), "w") as f:
             json.dump(coco, f)

@@ -28,6 +28,35 @@ def test_context_restores_flag():
     assert not int8_eval_enabled()
 
 
+def test_mode_is_thread_local():
+    """The mode is a ContextVar: a thread tracing inside int8_eval()
+    must not leak the mode into concurrently-running threads (advisor
+    r3: module-global lists raced under threaded test runners /
+    multi-threaded servers)."""
+    import threading
+
+    inside = threading.Event()
+    release = threading.Event()
+    seen = {}
+
+    def holder():
+        with int8_eval():
+            inside.set()
+            release.wait(timeout=10)
+
+    def observer():
+        inside.wait(timeout=10)
+        seen["other_thread"] = int8_eval_enabled()
+        release.set()
+
+    t1 = threading.Thread(target=holder)
+    t2 = threading.Thread(target=observer)
+    t1.start(); t2.start()
+    t1.join(timeout=15); t2.join(timeout=15)
+    assert seen["other_thread"] is False
+    assert not int8_eval_enabled()
+
+
 def test_baseconv_int8_matches_fp():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 2, (2, 16, 16, 128)), jnp.float32)

@@ -123,6 +123,17 @@ class Exp(YoloxExp):
     # -- builders ----------------------------------------------------------
     def get_model(self):
         from ..models.tscd import TSCD
+        # stop_backbone_grad severs the backbone backward; that is only
+        # an identity transform while the backbone is actually frozen.
+        # A subclass that unfreezes it (full fine-tune) must also flip
+        # the knob, else it would silently train with zero backbone
+        # gradients — so derive/deny here rather than trust the default.
+        if self.stop_backbone_grad:
+            assert any(p.startswith("backbone")
+                       for p in self.freeze_prefixes()), (
+                "stop_backbone_grad=True but freeze_prefixes() does not "
+                "freeze the backbone; set stop_backbone_grad=False for "
+                "full fine-tune")
         return TSCD(num_classes=self.num_classes, depth=self.depth,
                     width=self.width, act=self.act,
                     depthwise=self.depthwise,

@@ -16,8 +16,10 @@ Design notes (TPU-first):
 """
 
 import contextlib
+import contextvars
 import os
-from typing import Any, Callable, Sequence, Tuple
+from typing import (Any, Callable, NamedTuple, Optional, Sequence,
+                    Tuple)
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +43,23 @@ Dtype = Any
 # off will keep running fp even if called inside int8_eval() — create
 # the jitted function (or at least trigger its first call) INSIDE the
 # context, as above.
-_INT8_EVAL = [os.environ.get("TSCD_INT8_EVAL", "0") == "1"]
+#
+# The whole mode lives in ONE ContextVar holding an immutable tuple:
+# concurrent traces (threaded test runners, a multi-threaded server
+# tracing fp and int8 programs at once) each see their own context's
+# mode instead of racing on module globals.
+class _Int8Mode(NamedTuple):
+    enable: bool = False
+    static: bool = False
+    calibrate: bool = False
+    scope: Optional[Tuple[Tuple[str, ...], ...]] = None
+    qat: bool = False
+
+
+_INT8_MODE: "contextvars.ContextVar[_Int8Mode]" = contextvars.ContextVar(
+    "tscd_int8_mode", default=_Int8Mode(
+        enable=os.environ.get("TSCD_INT8_EVAL", "0") == "1",
+        static=os.environ.get("TSCD_INT8_STATIC", "0") == "1"))
 
 # Only quantize convs with C_in >= this (mode-dependent). DYNAMIC
 # scales pay a per-call max pass over the activation, so
@@ -57,43 +75,38 @@ INT8_MIN_CIN_STATIC = int(os.environ.get("TSCD_INT8_MIN_CIN_STATIC",
 
 def _int8_min_cin() -> int:
     # calibration must cover every layer the static trace will use
-    return (INT8_MIN_CIN_STATIC if (_INT8_STATIC[0] or _INT8_CALIB[0])
+    mode = _INT8_MODE.get()
+    return (INT8_MIN_CIN_STATIC if (mode.static or mode.calibrate)
             else INT8_MIN_CIN)
 
 
-# Activation-scale modes: dynamic (default — per-tensor max computed
-# in-program every call), calibrate (dynamic + record the running max
-# into a `quant` variable collection; apply with mutable=["quant"]),
-# static (read the calibrated scale from the `quant` collection — no
-# per-call max pass, deterministic latency).
-_INT8_STATIC = [os.environ.get("TSCD_INT8_STATIC", "0") == "1"]
-_INT8_CALIB = [False]
-# QAT: fake-quant in float with straight-through-estimator gradients —
+# Activation-scale modes (fields of _Int8Mode): dynamic (default —
+# per-tensor max computed in-program every call), calibrate (dynamic +
+# record the running max into a `quant` variable collection; apply with
+# mutable=["quant"]), static (read the calibrated scale from the
+# `quant` collection — no per-call max pass, deterministic latency).
+# `qat`: fake-quant in float with straight-through-estimator gradients —
 # same quantization noise as the int8 path but differentiable, so a
 # fix_bn training step can fine-tune weights against it (then serve
-# through the real int8 path). Enable via int8_eval(qat=True).
-_INT8_QAT = [False]
+# through the real int8 path). `scope`: optional module-path prefixes;
+# only BaseConvs under one of them quantize — used by the stage-2
+# trainers to run the FROZEN backbone in int8 while the trained video
+# head stays fp.
 
 
 def _ste_round(v: jax.Array) -> jax.Array:
     """round() with a straight-through gradient (identity backward)."""
     return v + jax.lax.stop_gradient(jnp.round(v) - v)
 
-# Optional module-path scope: when set (tuple of path prefixes, e.g.
-# (("backbone",),)), only BaseConvs whose flax scope path starts with
-# one of the prefixes quantize. Used by the stage-2 trainers to run the
-# FROZEN backbone's forward in int8 while the trained video head stays
-# fp (the int8 path's round() has no useful gradient; frozen modules
-# receive none).
-_INT8_SCOPE = [None]
-
 
 def int8_eval_enabled() -> bool:
-    return _INT8_EVAL[0]
+    return _INT8_MODE.get().enable
 
 
 def set_int8_eval(enable: bool) -> None:
-    _INT8_EVAL[0] = bool(enable)
+    """Sticky (non-scoped) toggle for CLI tools; affects only the
+    current thread/context (the mode is a ContextVar)."""
+    _INT8_MODE.set(_INT8_MODE.get()._replace(enable=bool(enable)))
 
 
 @contextlib.contextmanager
@@ -108,26 +121,24 @@ def int8_eval(enable: bool = True, static: bool = False,
     step. `qat=True` swaps the int8 conv for differentiable fake-quant
     (STE) so a fix_bn train step can fine-tune against quantization
     noise."""
-    prev = (_INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0],
-            _INT8_SCOPE[0], _INT8_QAT[0])
-    _INT8_EVAL[0] = bool(enable)
-    _INT8_STATIC[0] = bool(static)
-    _INT8_CALIB[0] = bool(calibrate)
-    _INT8_SCOPE[0] = (tuple(tuple(p) for p in scope)
-                      if scope is not None else None)
-    _INT8_QAT[0] = bool(qat)
+    token = _INT8_MODE.set(_Int8Mode(
+        enable=bool(enable), static=bool(static),
+        calibrate=bool(calibrate),
+        scope=(tuple(tuple(p) for p in scope)
+               if scope is not None else None),
+        qat=bool(qat)))
     try:
         yield
     finally:
-        (_INT8_EVAL[0], _INT8_STATIC[0], _INT8_CALIB[0],
-         _INT8_SCOPE[0], _INT8_QAT[0]) = prev
+        _INT8_MODE.reset(token)
 
 
 def _int8_in_scope(module: nn.Module) -> bool:
-    if _INT8_SCOPE[0] is None:
+    scope = _INT8_MODE.get().scope
+    if scope is None:
         return True
     path = tuple(module.scope.path) if module.scope is not None else ()
-    return any(path[:len(p)] == p for p in _INT8_SCOPE[0])
+    return any(path[:len(p)] == p for p in scope)
 
 
 def quantize_int8(apply_fn, variables, *sample_args, **apply_kwargs):
@@ -224,14 +235,15 @@ class BaseConv(nn.Module):
             b_eff = b if b is not None else jnp.zeros(
                 (self.out_channels,), jnp.float32)
         xf = x.astype(jnp.float32)
-        if (_INT8_STATIC[0] and not _INT8_CALIB[0]
+        mode = _INT8_MODE.get()
+        if (mode.static and not mode.calibrate
                 and not self.has_variable("quant", "act_scale")):
             raise ValueError(
                 "int8_eval(static=True) needs calibrated activation "
                 "scales: run quantize_int8(model.apply, variables, "
                 "*sample_batch) first and pass its returned variables "
                 "(with the 'quant' collection) to apply")
-        if _INT8_STATIC[0] or _INT8_CALIB[0]:
+        if mode.static or mode.calibrate:
             # per-INPUT-CHANNEL calibrated activation maxima: outlier
             # channels get their own range, and the channel scales fold
             # into the weight's C_in axis at trace time, so the static
@@ -239,7 +251,7 @@ class BaseConv(nn.Module):
             act_scale = self.variable(
                 "quant", "act_scale",
                 lambda: jnp.zeros((C_in,), jnp.float32))
-        if _INT8_STATIC[0] and not _INT8_CALIB[0]:
+        if mode.static and not mode.calibrate:
             # SmoothQuant-style equalization: migrate HALF of each
             # channel's range disparity into the weights (e_c =
             # sqrt(s_c / gmean)), then quantize the equalized
@@ -256,7 +268,7 @@ class BaseConv(nn.Module):
             s_x = s_t
         else:
             s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
-            if _INT8_CALIB[0]:
+            if mode.calibrate:
                 axes = tuple(range(xf.ndim - 1))
                 act_scale.value = jnp.maximum(
                     act_scale.value,
@@ -267,11 +279,15 @@ class BaseConv(nn.Module):
         dims = dict(window_strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        if _INT8_QAT[0]:
+        if mode.qat:
             # QAT: fake-quant in float with straight-through-estimator
             # gradients (scales stop-gradiented, clip saturates the
             # gradient like real int8 would). Trains at bf16 speed;
-            # serve the result through the real int8 path.
+            # serve the result through the real int8 path. Forward
+            # matches the int8 path exactly while partial sums stay
+            # below fp32's 2^24 integer window (tested sizes); a
+            # C_in*k*k*127^2 worst case beyond that can differ by an
+            # LSB — the training-noise alignment is what matters.
             s_x = jax.lax.stop_gradient(s_x)
             s_w = jax.lax.stop_gradient(s_w)
             x_scale = jax.lax.stop_gradient(x_scale)

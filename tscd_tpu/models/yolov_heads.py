@@ -682,8 +682,10 @@ def local_agg_merge(features: jax.Array, boxes: jax.Array,
     normalized, then average with the input features. The thresh map
     ZEROES logits (not -inf) exactly like the reference; invalid bank
     slots are excluded from the softmax. The reference divides by the
-    row sum unguarded (NaN when no bank box overlaps a query); here the
-    denominator is clamped, which degrades to features/2 instead."""
+    row sum unguarded (NaN when no bank box overlaps a query — the det
+    is effectively dropped upstream); here a zero-overlap row falls
+    back to its own unmerged features, so newly-appearing objects keep
+    their features instead of being attenuated to features/2."""
     from ..ops.boxes import pairwise_iou_xyxy
     f32 = jnp.float32
     fn = _l2norm(features.astype(f32))
@@ -696,8 +698,10 @@ def local_agg_merge(features: jax.Array, boxes: jax.Array,
     logits = 25.0 * cos * thresh
     logits = jnp.where(l_valid[None, :], logits, -1e9)
     w = jax.nn.softmax(logits, axis=-1) * iou * l_valid[None, :].astype(f32)
-    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    row_sum = jnp.sum(w, axis=-1, keepdims=True)
+    w = w / jnp.maximum(row_sum, 1e-12)
     merged = w @ local_feat.astype(f32)
+    merged = jnp.where(row_sum > 1e-8, merged, features.astype(f32))
     return ((merged + features.astype(f32)) * 0.5).astype(features.dtype)
 
 

@@ -104,13 +104,19 @@ def main():
     predict = trainer.make_predict_fn(variables, L, G)
     rng = random.Random(42)
 
-    # chunk into windows (mirrors photo_to_sequence / tscd_demo.py:212-252)
+    # chunk into windows (mirrors photo_to_sequence / tscd_demo.py:212-252).
+    # traj_linking (exp knob, override via `traj_linking True`): consecutive
+    # chunks share one local frame (reference overlap-by-1, vid.py:133-151 /
+    # tscd_demo.py:212-252 — there the window grows to lframe+1; here the
+    # fixed-shape redesign keeps F static by striding L-1 instead), then
+    # tubelet-averaged rescoring links detections across chunks.
+    traj = bool(getattr(exp, "traj_linking", False))
+    stride = max(L - 1, 1) if traj else max(L, 1)
+    starts = list(range(0, len(frames), stride))
     all_dets = [None] * len(frames)
-    n_chunks = max(len(frames) // max(L, 1), 1)
     state = None
     t0 = time.time()
-    for ci in range(n_chunks):
-        lo = ci * L
+    for ci, lo in enumerate(starts):
         local_idx = list(range(lo, min(lo + L, len(frames))))
         while len(local_idx) < L:
             local_idx.append(local_idx[-1])
@@ -127,6 +133,13 @@ def main():
     dt = time.time() - t0
     print(f"inference: {1000 * dt / len(frames):.1f} ms/frame "
           f"({len(frames) / dt:.1f} fps)")
+
+    if traj:
+        from tscd_tpu.postprocess.linking import post_linking
+        filled = [d if d is not None else np.zeros((0, 7), np.float32)
+                  for d in all_dets]
+        all_dets = post_linking(filled)
+        print("traj_linking: tubelet-averaged rescoring applied")
 
     if args.post:
         from tscd_tpu.postprocess.repp import REPP

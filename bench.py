@@ -215,27 +215,28 @@ def run_bench():
     int8 = {}
     if os.environ.get("TSCD_BENCH_INT8", "1") != "0":
         try:
-            from tscd_tpu.models.blocks import int8_eval
+            from tscd_tpu.models.blocks import (int8_eval,
+                                                quantize_int8_scan)
 
-            # Calibrate on an F=8 sub-window: conv activations are
-            # per-frame, so per-layer maxima transfer to F=32 (the
-            # static path saturates any overshoot), and the F=32
-            # calibration program (70 max-reductions with mutable
-            # scalar outputs on top of the full eval) kernel-faults
-            # this TPU worker where F=8 is stable.
-            Gc = 7
-            Fc = L + Gc
-
-            @jax.jit
-            def calib(v, x, te, st):
-                out, muts = model.apply(v, x, te, L, Gc, False, st,
-                                        mutable=["quant"])
-                return out["refined_cls_logits"], muts
-
-            with int8_eval(calibrate=True):
-                _, muts = calib(variables, x[:Fc], te[:Fc], state0)
-            force((jax.tree_util.tree_leaves(muts["quant"])[0][None],))
-            vq = {**variables, "quant": muts["quant"]}
+            # Serving-shape calibration: ALL F=32 frames of the bench
+            # window, folded through a chunked lax.scan carrying ONE
+            # maxima tree (blocks.quantize_int8_scan). The flat F=32
+            # calibrate program (~70 mutable max-reduction outputs on
+            # top of the whole eval) kernel-faults this worker; the
+            # scan program has a single tree output, and the
+            # fp-observer calibration makes chunking exact (chunked ==
+            # full maxima, tests/test_int8_scan_calib.py).
+            Fc = 8
+            n_chunks = F // Fc
+            xs = x[:n_chunks * Fc].reshape((n_chunks, Fc) + x.shape[1:])
+            tes = te[:n_chunks * Fc].reshape(
+                (n_chunks, Fc) + te.shape[1:])
+            vq = quantize_int8_scan(
+                lambda v, xa, ta: model.apply(
+                    v, xa, ta, L, Fc - L, False, state0,
+                    mutable=["quant"]),
+                variables, xs, tes)
+            force((jax.tree_util.tree_leaves(vq["quant"])[0][None],))
 
             with int8_eval(static=True):
                 fwd8 = jax.jit(lambda v, x, te, st: (

@@ -152,6 +152,42 @@ def quantize_int8(apply_fn, variables, *sample_args, **apply_kwargs):
     return {**variables, "quant": muts["quant"]}
 
 
+def quantize_int8_scan(apply_fn, variables, *stacked_args):
+    """Serving-shape calibration as a chunked `lax.scan` carrying ONE
+    maxima tree.
+
+    `apply_fn(variables, *chunk_args)` must run the model with
+    `mutable=["quant"]` and return `(out, muts)`; each element of
+    `stacked_args` carries a leading chunk axis. The scan body runs the
+    calibrate trace on one chunk and folds its per-layer activation
+    maxima into the carry, so the compiled program has a single
+    maxima-tree output no matter how many frames are calibrated.
+
+    Why: the flat calibrate program at the full serving window
+    (F=32@576 — ~70 mutable max-reduction outputs on top of the whole
+    eval forward) kernel-faults this TPU worker. Quantized convs are
+    all per-frame (aggregation/matcher layers are Linears the int8 path
+    never touches), so a frame-chunked max-fold is EXACT: max over
+    chunks == max over the full window (equality pinned by
+    tests/test_int8_scan_calib.py). Returns `variables` with the
+    populated `quant` collection; serve with `int8_eval(static=True)`.
+    """
+    first = jax.tree_util.tree_map(lambda a: a[0], stacked_args)
+    with int8_eval(calibrate=True):
+        shapes = jax.eval_shape(
+            lambda v, a: apply_fn(v, *a)[1]["quant"], variables, first)
+        init = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        def body(carry, chunk):
+            _, muts = apply_fn(variables, *chunk)
+            return jax.tree_util.tree_map(jnp.maximum, carry,
+                                          muts["quant"]), None
+
+        carry, _ = jax.lax.scan(body, init, stacked_args)
+    return {**variables, "quant": carry}
+
+
 def get_activation(name: str = "silu") -> Callable[[jax.Array], jax.Array]:
     if name in ("silu", "swish"):
         return jax.nn.silu
@@ -268,17 +304,29 @@ class BaseConv(nn.Module):
             s_x = s_t
         else:
             s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
-            if mode.calibrate:
-                axes = tuple(range(xf.ndim - 1))
-                act_scale.value = jnp.maximum(
-                    act_scale.value,
-                    jnp.max(jnp.abs(xf), axis=axes) / 127.0)
             x_scale = s_x
         s_w = jnp.maximum(jnp.max(jnp.abs(w_eff), axis=(0, 1, 2)),
                           1e-8) / 127.0
         dims = dict(window_strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if mode.calibrate:
+            # PTQ observer pass: record per-input-channel maxima of the
+            # FP activations and run the FP (BN-folded) conv forward —
+            # NOT the quantized one. Observing fp activations is the
+            # standard PTQ contract, and it makes calibration exactly
+            # batch/window-size-invariant (a quantized calibration
+            # forward would let the batch-wide dynamic scale leak chunk
+            # size into downstream maxima — quantize_int8_scan's
+            # chunked==full equality test pins this).
+            axes = tuple(range(xf.ndim - 1))
+            act_scale.value = jnp.maximum(
+                act_scale.value,
+                jnp.max(jnp.abs(xf), axis=axes) / 127.0)
+            y = jax.lax.conv_general_dilated(
+                xf, w_eff, preferred_element_type=jnp.float32,
+                **dims) + b_eff
+            return get_activation(self.act)(y.astype(self.dtype))
         if mode.qat:
             # QAT: fake-quant in float with straight-through-estimator
             # gradients (scales stop-gradiented, clip saturates the

@@ -106,7 +106,7 @@ class Exp(YoloxExp):
         self.batch_size = 16                # = lframe + gframe (one window)
         self.eval_interval = 1
         self.perspective = 0.0
-        self.enable_multiscale = False      # ±multiscale_range x32 resize
+        self.enable_multiscale = False      # ±multiscale_range x64 resize
         self.fix_bn = True                  # frozen backbone => eval-mode BN
         self.seed = 2024
         # data paths

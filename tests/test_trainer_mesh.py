@@ -137,6 +137,31 @@ def test_trainer_fsdp_and_tp_match_dp(tmp_path):
     _assert_tree_close(base_params, _host_params(s_tp))
 
 
+@pytest.mark.slow
+def test_trainer_grad_accum_matches_batched(tmp_path):
+    """grad_accum=2 (lax.scan over window chunks inside one step) must
+    reproduce the plain window_batch=2 step exactly: equal chunk sizes
+    make mean-of-chunk-means the batch mean for grads, losses and BN
+    stats alike. Peak activation memory is the feature; the math must
+    not move."""
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=1,
+                             n_frames=4)
+    base_f = _write_exp(tmp_path, root, "base_wb2c", window_batch=2)
+    ga_f = _write_exp(tmp_path, root, "ga2", window_batch=2,
+                      grad_accum=2)
+
+    _, s_base = _run_trainer(base_f)
+    t_ga, s_ga = _run_trainer(ga_f)
+    assert t_ga.mesh is None and t_ga.window_batch == 2
+    assert int(s_base.step) == int(s_ga.step) >= 1
+    _assert_tree_close(_host_params(s_base), _host_params(s_ga),
+                       rtol=5e-5, atol=2e-6)
+    _assert_tree_close({"bs": s_base.batch_stats},
+                       {"bs": s_ga.batch_stats}, rtol=5e-5, atol=2e-6)
+    _assert_tree_close({"ema": s_base.ema_params},
+                       {"ema": s_ga.ema_params}, rtol=5e-5, atol=2e-6)
+
+
 def test_window_loader_batch_windows(tmp_path):
     """batch_windows stacks B windows on a leading axis and drops the
     last partial group (static shapes for the mesh step)."""

@@ -134,6 +134,16 @@ class TSCDTrainer:
         import optax
 
         batched = self.window_batch > 1
+        accum = int(getattr(exp, "grad_accum", 1) or 1)
+        if accum > 1:
+            assert batched and self.window_batch % accum == 0, (
+                f"grad_accum({accum}) needs window_batch a multiple of "
+                f"it (window_batch={self.window_batch})")
+            if self.mesh is not None:
+                assert (self.window_batch // accum) % \
+                    self.mesh.shape["data"] == 0, (
+                        "each grad_accum chunk must still divide over "
+                        "mesh_data")
 
         def window_losses(params, batch_stats, frames, labels, time_emb):
             variables = {"params": params, "batch_stats": batch_stats}
@@ -157,23 +167,25 @@ class TSCDTrainer:
             return losses, new_bs
 
         def step(state: TrainState, frames, labels, time_emb):
-            def loss_fn(params):
+            def chunk_loss_fn(params, f, l, t):
+                """Mean loss (+ mean BN stats) over one chunk of
+                windows; the unit both the plain batched step and the
+                grad-accum scan differentiate."""
                 if not batched:
                     losses, new_bs = window_losses(
-                        params, state.batch_stats, frames, labels,
-                        time_emb)
+                        params, state.batch_stats, f, l, t)
                     return losses["total_loss"], (losses, new_bs)
                 if fix_bn:
                     losses_b = jax.vmap(
-                        lambda f, l, t: window_losses(
-                            params, state.batch_stats, f, l, t)[0]
-                    )(frames, labels, time_emb)
+                        lambda fi, li, ti: window_losses(
+                            params, state.batch_stats, fi, li, ti)[0]
+                    )(f, l, t)
                     new_bs = state.batch_stats
                 else:
                     losses_b, bs_b = jax.vmap(
-                        lambda f, l, t: window_losses(
-                            params, state.batch_stats, f, l, t)
-                    )(frames, labels, time_emb)
+                        lambda fi, li, ti: window_losses(
+                            params, state.batch_stats, fi, li, ti)
+                    )(f, l, t)
                     # cross-window BN-stat mean — under the data mesh
                     # GSPMD turns this into the sync-BN all-reduce
                     # (reference allreduce_norm.py:97)
@@ -183,8 +195,52 @@ class TSCDTrainer:
                                                 losses_b)
                 return losses["total_loss"], (losses, new_bs)
 
-            (_, (losses, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+            if accum > 1:
+                # gradient accumulation: lax.scan over window chunks so
+                # peak activation memory scales with window_batch/accum
+                # while the update math stays EXACTLY the one-big-batch
+                # mean (equal chunk sizes: mean of chunk-means == batch
+                # mean for grads, losses and BN stats alike —
+                # tests/test_trainer_mesh.py pins step equality)
+                grad_fn = jax.value_and_grad(chunk_loss_fn, has_aux=True)
+                A = accum
+
+                def split(a):
+                    return a.reshape((A, a.shape[0] // A) + a.shape[1:])
+
+                def body(carry, chunk):
+                    g_sum, loss_sum, bs_sum = carry
+                    (_, (losses, bs)), g = grad_fn(state.params, *chunk)
+                    g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
+                    loss_sum = jax.tree_util.tree_map(jnp.add, loss_sum,
+                                                      losses)
+                    if not fix_bn:
+                        bs_sum = jax.tree_util.tree_map(jnp.add, bs_sum,
+                                                        bs)
+                    return (g_sum, loss_sum, bs_sum), None
+
+                zeros = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                    lambda a: jnp.zeros(a.shape, a.dtype), t)
+                shapes = jax.eval_shape(
+                    lambda p, f, l, t: grad_fn(p, f, l, t),
+                    state.params, split(frames)[0], split(labels)[0],
+                    split(time_emb)[0])
+                (_, (loss_sh, bs_sh)), g_sh = shapes
+                init = (zeros(g_sh), zeros(loss_sh),
+                        state.batch_stats if fix_bn else zeros(bs_sh))
+                (g_sum, loss_sum, bs_sum), _ = jax.lax.scan(
+                    body, init,
+                    (split(frames), split(labels), split(time_emb)))
+                inv = 1.0 / A
+                grads = jax.tree_util.tree_map(lambda a: a * inv, g_sum)
+                losses = jax.tree_util.tree_map(lambda a: a * inv,
+                                                loss_sum)
+                new_bs = state.batch_stats if fix_bn else \
+                    jax.tree_util.tree_map(lambda a: a * inv, bs_sum)
+            else:
+                (_, (losses, new_bs)), grads = jax.value_and_grad(
+                    chunk_loss_fn, has_aux=True)(
+                        state.params, frames, labels, time_emb)
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             params = optax.apply_updates(state.params, updates)

@@ -14,6 +14,11 @@ line.
 
 Usage: python tools/measure_multiscale_cost.py [--f 16] [--base 576]
            [--range 3] [--step 64] [--iters 5]
+
+CAUTION (this rig, axon-tunneled v5e): sizes >= 704 at F=16
+kernel-fault the TPU worker at first execution (PROFILE.md
+§multiscale) and take ~15 min to recover — measure the top sizes last
+or pass --range 1/2 to stay in the safe set.
 """
 
 import argparse

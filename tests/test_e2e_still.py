@@ -40,6 +40,60 @@ def _make_coco(root, n_imgs=8, size=(96, 128), n_categories=2):
     return root
 
 
+def test_yolox_grad_accum_matches_chunk_mean_oracle():
+    """grad_accum=2 on the still-image step == hand-rolled mean of the
+    two half-batch plain steps (with plain SGD every state field —
+    params, BN stats, EMA, losses — is LINEAR in the gradient/stats, so
+    averaging the two half-batch step results is an exact oracle for
+    the accumulated step; BN normalizing per chunk is the intended
+    semantics, train/step.py scan_accum_value_and_grad)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tscd_tpu.models.yolox import YOLOX
+    from tscd_tpu.train.step import (init_train_state,
+                                     make_yolox_train_step)
+
+    model = YOLOX(num_classes=2, depth=0.33, width=0.125)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (4, 96, 128, 3)), jnp.float32)
+    labels = np.zeros((4, 10, 5), np.float32)
+    for b in range(4):
+        labels[b, 0] = [1, 40 + b, 30 + b, 36, 28]
+        labels[b, 1] = [0, 90 - b, 60, 24, 20]
+    labels = jnp.asarray(labels)
+
+    variables = model.init(jax.random.PRNGKey(0), imgs, False, False)
+    tx = optax.sgd(0.01)
+    state = init_train_state(variables, tx)
+
+    step_acc = jax.jit(make_yolox_train_step(model, tx, grad_accum=2))
+    step_plain = jax.jit(make_yolox_train_step(model, tx))
+
+    s_acc, l_acc = step_acc(state, imgs, labels)
+    s_a, l_a = step_plain(state, imgs[:2], labels[:2])
+    s_b, l_b = step_plain(state, imgs[2:], labels[2:])
+
+    def mean_tree(ta, tb):
+        return jax.tree_util.tree_map(lambda x, y: (x + y) / 2, ta, tb)
+
+    def close(t_got, t_want, what):
+        la, _ = jax.tree_util.tree_flatten(t_got)
+        lb, _ = jax.tree_util.tree_flatten(t_want)
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-5, atol=1e-6,
+                err_msg=what)
+
+    close(s_acc.params, mean_tree(s_a.params, s_b.params), "params")
+    close(s_acc.batch_stats, mean_tree(s_a.batch_stats, s_b.batch_stats),
+          "batch_stats")
+    close(s_acc.ema_params, mean_tree(s_a.ema_params, s_b.ema_params),
+          "ema")
+    close(l_acc, mean_tree(l_a, l_b), "losses")
+
+
 @pytest.mark.slow
 def test_yolox_end_to_end_train_and_eval(tmp_path):
     root = _make_coco(str(tmp_path / "coco"))

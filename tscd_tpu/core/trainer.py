@@ -89,15 +89,27 @@ class Trainer:
         self._init_state(sample)
         from ..parallel.trainer_mesh import jit_trainer_step, place_state
         fsdp = bool(getattr(exp, "fsdp", False))
+        accum = int(getattr(exp, "grad_accum", 1) or 1)
+        if accum > 1:
+            assert exp.batch_size % accum == 0, (
+                f"grad_accum({accum}) must divide batch_size"
+                f"({exp.batch_size})")
+            if self.mesh is not None:
+                assert (exp.batch_size // accum) % \
+                    self.mesh.shape["data"] == 0, (
+                        "each grad_accum chunk must still divide over "
+                        "mesh_data")
         if self.mesh is not None:
             self.state = place_state(self.state, self.mesh, fsdp)
         step_aug = jit_trainer_step(
             make_yolox_train_step(self.model, self.tx, use_l1=False,
-                                  ema_decay=exp.ema_decay),
+                                  ema_decay=exp.ema_decay,
+                                  grad_accum=accum),
             self.state, self.mesh, fsdp=fsdp, num_data_args=2)
         step_l1 = jit_trainer_step(
             make_yolox_train_step(self.model, self.tx, use_l1=True,
-                                  ema_decay=exp.ema_decay),
+                                  ema_decay=exp.ema_decay,
+                                  grad_accum=accum),
             self.state, self.mesh, fsdp=fsdp, num_data_args=2)
 
         for epoch in range(self.start_epoch, exp.max_epoch):

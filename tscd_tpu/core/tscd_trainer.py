@@ -199,44 +199,19 @@ class TSCDTrainer:
                 # gradient accumulation: lax.scan over window chunks so
                 # peak activation memory scales with window_batch/accum
                 # while the update math stays EXACTLY the one-big-batch
-                # mean (equal chunk sizes: mean of chunk-means == batch
-                # mean for grads, losses and BN stats alike —
+                # mean (the per-window vmapped loss decomposes over the
+                # batch, so mean of chunk-means == batch mean for
+                # grads, losses and BN stats alike —
                 # tests/test_trainer_mesh.py pins step equality)
-                grad_fn = jax.value_and_grad(chunk_loss_fn, has_aux=True)
-                A = accum
-
-                def split(a):
-                    return a.reshape((A, a.shape[0] // A) + a.shape[1:])
-
-                def body(carry, chunk):
-                    g_sum, loss_sum, bs_sum = carry
-                    (_, (losses, bs)), g = grad_fn(state.params, *chunk)
-                    g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
-                    loss_sum = jax.tree_util.tree_map(jnp.add, loss_sum,
-                                                      losses)
-                    if not fix_bn:
-                        bs_sum = jax.tree_util.tree_map(jnp.add, bs_sum,
-                                                        bs)
-                    return (g_sum, loss_sum, bs_sum), None
-
-                zeros = lambda t: jax.tree_util.tree_map(  # noqa: E731
-                    lambda a: jnp.zeros(a.shape, a.dtype), t)
-                shapes = jax.eval_shape(
-                    lambda p, f, l, t: grad_fn(p, f, l, t),
-                    state.params, split(frames)[0], split(labels)[0],
-                    split(time_emb)[0])
-                (_, (loss_sh, bs_sh)), g_sh = shapes
-                init = (zeros(g_sh), zeros(loss_sh),
-                        state.batch_stats if fix_bn else zeros(bs_sh))
-                (g_sum, loss_sum, bs_sum), _ = jax.lax.scan(
-                    body, init,
-                    (split(frames), split(labels), split(time_emb)))
-                inv = 1.0 / A
-                grads = jax.tree_util.tree_map(lambda a: a * inv, g_sum)
-                losses = jax.tree_util.tree_map(lambda a: a * inv,
-                                                loss_sum)
-                new_bs = state.batch_stats if fix_bn else \
-                    jax.tree_util.tree_map(lambda a: a * inv, bs_sum)
+                from ..train.step import scan_accum_value_and_grad
+                grads, (losses, new_bs) = scan_accum_value_and_grad(
+                    chunk_loss_fn, state.params,
+                    (frames, labels, time_emb), accum)
+                if fix_bn:
+                    # the aux mean of A identical batch_stats copies is
+                    # the same values only up to rounding for A not a
+                    # power of two — keep the exact tree instead
+                    new_bs = state.batch_stats
             else:
                 (_, (losses, new_bs)), grads = jax.value_and_grad(
                     chunk_loss_fn, has_aux=True)(

@@ -90,14 +90,9 @@ class Exp(YoloxExp):
         # shard). >1 on a single device = window-batched step (vmapped
         # loss, averaged grads) — the same math the DP mesh runs.
         self.window_batch = 0
-        # gradient accumulation: split the window batch into this many
-        # sequential chunks (lax.scan) inside ONE jitted step — peak
-        # activation memory scales with window_batch/grad_accum while
-        # the update stays exactly the one-big-batch mean (equal
-        # chunks). Lets a single chip train the effective batch a DP
-        # mesh would (no reference analog — its per-GPU batch is
-        # memory-bound, yolox_base.py:183).
-        self.grad_accum = 1
+        # grad_accum (inherited from yolox_base): for video exps the
+        # per-window vmapped loss makes accumulation EXACTLY the
+        # one-big-batch step (tests/test_trainer_mesh.py)
         self.reconf = True
         self.ota_mode = True
         self.cat_ota_fg = False

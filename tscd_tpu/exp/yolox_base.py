@@ -33,6 +33,15 @@ class Exp(BaseExp):
         self.mesh_data = 1
         self.mesh_model = 1
         self.fsdp = False
+        # gradient accumulation: split each step's batch into this many
+        # sequential chunks (lax.scan inside the SAME jitted step,
+        # train/step.py scan_accum_value_and_grad) — peak activation
+        # memory scales with batch/grad_accum. Exactly the big-batch
+        # step for per-window video losses / fix_bn; per-chunk BN
+        # batches (the standard accumulation semantics) for train-mode
+        # BN. No reference analog — its per-GPU batch is memory-bound
+        # (yolox_base.py:183).
+        self.grad_accum = 1
         # data
         self.data_dir = "./datasets/COCO"
         self.train_ann = "instances_train2017.json"

@@ -400,7 +400,15 @@ class TSCDTrainer:
         eval_fn = self._build_eval_fn(lframe, gframe, sp_mesh=sp_mesh)
         P = self.exp.minimal_limit
         hidden = int(256 * self.exp.width)
-        fresh = init_matcher_state(P, hidden, 4 * hidden)
+        # fresh state in the MODEL dtype: a bf16 model RETURNS its
+        # carried state at bf16, so an fp32 fresh state would make the
+        # first window of every video a second compiled program
+        # (PROFILE.md §latency retrace trap); matching dtypes = one
+        # program serves both. Zero-valued state gated by
+        # has_state=False, so the dtype carries no information.
+        fresh = init_matcher_state(
+            P, hidden, 4 * hidden,
+            dtype=getattr(self.model, "dtype", jnp.float32))
 
         def dispatch(imgs, te, resume, state):
             st = state if (resume and state is not None) else fresh

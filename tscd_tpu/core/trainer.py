@@ -54,6 +54,7 @@ class Trainer:
         variables = self.model.init(jax.random.PRNGKey(exp.seed or 0), x,
                                     False, False)
         ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
+        opt_ckpt = None
         if getattr(self.args, "resume", False) and self.args:
             path = ckpt_path or os.path.join(self.file_name,
                                              "latest_ckpt.msgpack")
@@ -65,6 +66,8 @@ class Trainer:
                 "batch_stats": load_tolerant(
                     variables.get("batch_stats", {}),
                     restored.get("batch_stats", {}))}
+            # momentum survives a resume (reference trainer.py:291)
+            opt_ckpt = restored.get("opt_state")
         elif ckpt_path:
             restored = load_checkpoint(ckpt_path)
             variables = {
@@ -75,6 +78,11 @@ class Trainer:
                     restored.get("batch_stats", {}))}
         self.tx = exp.get_optimizer(self.iters_per_epoch)
         self.state = init_train_state(variables, self.tx)
+        if opt_ckpt is not None:
+            from ..train.checkpoint import restore_opt_state
+            self.state = self.state._replace(
+                opt_state=restore_opt_state(self.state.opt_state,
+                                            opt_ckpt))
         if self.start_epoch:
             self.state = self.state._replace(step=jnp.asarray(
                 self.start_epoch * self.iters_per_epoch, jnp.int32))
@@ -205,11 +213,14 @@ class Trainer:
         return float(res.get("AP50", 0.0))
 
     def save_ckpt(self, epoch: int, is_best: bool = False):
+        from ..train.checkpoint import opt_state_to_ckpt
         ckpt = {
             "start_epoch": np.int32(epoch + 1),
             "params": self.state.ema_params,
             "raw_params": self.state.params,
             "batch_stats": self.state.ema_batch_stats,
+            # momentum survives a resume (reference trainer.py:355)
+            "opt_state": opt_state_to_ckpt(self.state.opt_state),
         }
         path = save_checkpoint(ckpt, self.file_name, is_best=is_best)
         print(f"saved checkpoint {path}")

@@ -87,6 +87,7 @@ class TSCDTrainer:
         variables = self._init_variables(x, te, self.lframe, self.gframe)
 
         ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
+        opt_ckpt = None
         if getattr(self.args, "resume", False) and self.args:
             path = ckpt_path or os.path.join(self.file_name,
                                              "latest_ckpt.msgpack")
@@ -99,6 +100,9 @@ class TSCDTrainer:
                     variables.get("batch_stats", {}),
                     restored.get("batch_stats", {})),
             }
+            # resume restores momentum too (reference trainer.py:291);
+            # fine-tune loads (elif below) deliberately do not
+            opt_ckpt = restored.get("opt_state")
             print(f"resumed from {path} at epoch {self.start_epoch}")
         elif ckpt_path:
             restored = load_checkpoint(ckpt_path)
@@ -121,6 +125,11 @@ class TSCDTrainer:
         except TypeError:  # custom exp without the window_batch kwarg
             self.tx = exp.get_optimizer(iters)
         self.state = init_train_state(variables, self.tx)
+        if opt_ckpt is not None:
+            from ..train.checkpoint import restore_opt_state
+            self.state = self.state._replace(
+                opt_state=restore_opt_state(self.state.opt_state,
+                                            opt_ckpt))
         if self.start_epoch:
             self.state = self.state._replace(
                 step=jnp.asarray(self.start_epoch * iters, jnp.int32))
@@ -452,11 +461,14 @@ class TSCDTrainer:
 
     # -- ckpt -------------------------------------------------------------
     def save_ckpt(self, epoch: int, is_best: bool = False):
+        from ..train.checkpoint import opt_state_to_ckpt
         ckpt = {
             "start_epoch": np.int32(epoch + 1),
             "params": self.state.ema_params,
             "raw_params": self.state.params,
             "batch_stats": self.state.ema_batch_stats,
+            # momentum survives a resume (reference trainer.py:355)
+            "opt_state": opt_state_to_ckpt(self.state.opt_state),
         }
         path = save_checkpoint(ckpt, self.file_name, is_best=is_best)
         print(f"saved checkpoint {path}")

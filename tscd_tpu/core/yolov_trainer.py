@@ -45,6 +45,7 @@ class YOLOVTrainer(TSCDTrainer):
         from ..train.checkpoint import load_checkpoint, load_tolerant
         from ..train.step import init_train_state
         ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
+        opt_ckpt = None
         if getattr(self.args, "resume", False) and self.args:
             import os as _os
             path = ckpt_path or _os.path.join(self.file_name,
@@ -57,6 +58,8 @@ class YOLOVTrainer(TSCDTrainer):
                 "batch_stats": load_tolerant(
                     variables.get("batch_stats", {}),
                     restored.get("batch_stats", {}))}
+            # momentum survives a resume (reference trainer.py:291)
+            opt_ckpt = restored.get("opt_state")
             print(f"resumed from {path} at epoch {self.start_epoch}")
         elif ckpt_path:
             restored = load_checkpoint(ckpt_path)
@@ -68,6 +71,11 @@ class YOLOVTrainer(TSCDTrainer):
                     restored.get("batch_stats", {}))}
             print(f"loaded fine-tune weights from {ckpt_path}")
         self.state = init_train_state(variables, self.tx)
+        if opt_ckpt is not None:
+            from ..train.checkpoint import restore_opt_state
+            self.state = self.state._replace(
+                opt_state=restore_opt_state(self.state.opt_state,
+                                            opt_ckpt))
         if self.start_epoch:
             self.state = self.state._replace(
                 step=jnp.asarray(self.start_epoch * iters, jnp.int32))

@@ -33,6 +33,28 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+def opt_state_to_ckpt(opt_state: Any) -> Dict[str, Any]:
+    """Optimizer state (optax NamedTuple chain) -> serializable dict
+    (reference saves `optimizer.state_dict()` in every checkpoint,
+    yolox/core/trainer.py:355 — momentum must survive a resume)."""
+    return serialization.to_state_dict(opt_state)
+
+
+def restore_opt_state(template: Any, ckpt_entry: Optional[Dict[str, Any]],
+                      log=print) -> Any:
+    """Restore optimizer state into a freshly-initialized template;
+    tolerant like load_tolerant — a structure mismatch (optimizer
+    recipe changed between runs) falls back to the fresh init with a
+    warning instead of failing the resume."""
+    if ckpt_entry is None:
+        return template
+    try:
+        return serialization.from_state_dict(template, ckpt_entry)
+    except Exception as e:  # noqa: BLE001 — tolerant by contract
+        log(f"optimizer state restore failed ({e!r}); keeping fresh init")
+        return template
+
+
 def load_tolerant(target: Dict[str, Any], ckpt: Dict[str, Any],
                   log=print) -> Dict[str, Any]:
     """Merge ckpt leaves into target, skipping missing keys and shape

@@ -79,6 +79,55 @@ class Exp(B):
 
 
 @pytest.mark.slow
+def test_tscd_eval_cli_sp_sharded(tmp_path):
+    """tscd_eval.py subprocess with --sp 2: the frame axis of each eval
+    window shards over a 2-device mesh (parallel/sharded_eval.py) —
+    the CLI surface of the SP option, on virtual CPU devices."""
+    from tests.test_e2e_train import _make_vid_dataset
+
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=2,
+                             n_frames=8, size=(96, 128))
+    exp_file = tmp_path / "tiny_sp_exp.py"
+    exp_file.write_text(f"""
+import os
+from tscd_tpu.exp.tscd_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = 0.33, 0.125
+        self.num_classes = 30
+        self.minimal_limit = 8
+        self.heads = 2
+        self.lframe_val, self.gframe_val = 1, 3
+        self.input_size = self.test_size = (96, 128)
+        self.data_dir = {root!r}
+        self.train_seq_path = os.path.join({root!r}, "train_seq.npy")
+        self.val_seq_path = os.path.join({root!r}, "val_seq.npy")
+        self.output_dir = {str(tmp_path / "out")!r}
+        self.exp_name = "tiny_sp_cli"
+""")
+    from tscd_tpu.exp import get_exp
+
+    exp = get_exp(str(exp_file))
+    ckpt = _tiny_ckpt(exp, tmp_path)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=2"
+                          ).strip())
+    out_json = str(tmp_path / "eval_sp.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "tscd_eval.py"),
+         "-f", str(exp_file), "-c", ckpt, "--tnum", "2", "--sp", "2",
+         "--output", out_json],
+        capture_output=True, text=True, timeout=480, env=env, cwd=REPO)
+    assert r.returncode == 0, f"tscd_eval --sp failed:\n{r.stderr[-2000:]}"
+    import json
+    res = json.load(open(out_json))
+    assert "mAP" in res and np.isfinite(res["mAP"])
+
+
+@pytest.mark.slow
 def test_tscd_demo_cli_post_and_traj_linking(tmp_path):
     """tscd_demo.py subprocess with traj_linking overlap chunking (exp
     knob via trailing opts) composed with --post REPP: both offline

@@ -128,6 +128,57 @@ class Exp(B):
 
 
 @pytest.mark.slow
+def test_tscd_train_cli_mesh_flags(tmp_path):
+    """tools/tscd_train.py subprocess with --mesh-data 2 --fsdp on two
+    virtual CPU devices: the FLAG path (argparse -> exp knobs -> mesh
+    inside the trainer) that test_trainer_mesh.py's direct-API tests
+    bypass. Asserts the run completes and writes a checkpoint."""
+    from tests.test_e2e_train import _make_vid_dataset
+
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=1,
+                             n_frames=4, size=(96, 128))
+    out_dir = tmp_path / "out"
+    exp_file = tmp_path / "tiny_meshcli_exp.py"
+    exp_file.write_text(f"""
+import os
+from tscd_tpu.exp.tscd_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = 0.33, 0.125
+        self.num_classes = 30
+        self.minimal_limit = 8
+        self.heads = 2
+        self.lframe, self.gframe = 1, 3
+        self.lframe_val, self.gframe_val = 1, 3
+        self.input_size = self.test_size = (96, 128)
+        self.max_epoch = 1
+        self.eval_interval = 10
+        self.hsv_prob = 0.0
+        self.flip_prob = 0.0
+        self.data_dir = {str(root)!r}
+        self.train_seq_path = os.path.join({str(root)!r}, "train_seq.npy")
+        self.val_seq_path = os.path.join({str(root)!r}, "val_seq.npy")
+        self.output_dir = {str(out_dir)!r}
+        self.exp_name = "tiny_meshcli"
+        self.fix_bn = False
+        self.seed = 0
+""")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=2"
+                          ).strip())
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "tscd_train.py"),
+         "-f", str(exp_file), "--mesh-data", "2", "--fsdp"],
+        capture_output=True, text=True, timeout=480, env=env, cwd=REPO)
+    assert r.returncode == 0, f"tscd_train mesh failed:\n{r.stderr[-2000:]}"
+    ckpt = os.path.join(str(out_dir), "tiny_meshcli",
+                        "latest_ckpt.msgpack")
+    assert os.path.exists(ckpt), "mesh training wrote no checkpoint"
+
+
+@pytest.mark.slow
 def test_tscd_demo_cli_post_and_traj_linking(tmp_path):
     """tscd_demo.py subprocess with traj_linking overlap chunking (exp
     knob via trailing opts) composed with --post REPP: both offline

@@ -31,6 +31,15 @@ def make_parser():
     parser.add_argument("-e", "--start_epoch", type=int, default=None)
     parser.add_argument("--fp16", action="store_true",
                         help="bf16 compute (TPU analogue)")
+    parser.add_argument("--mesh-data", type=int, default=None,
+                        help="data-parallel mesh axis (windows/step; "
+                             "-1 = all devices). Replaces the "
+                             "reference's -d/--devices DDP fan-out.")
+    parser.add_argument("--mesh-model", type=int, default=None,
+                        help="tensor-parallel mesh axis (DP x TP)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params/momenta/EMA over the data "
+                             "axis (ZeRO-3)")
     parser.add_argument("opts", nargs="*",
                         help="exp attribute overrides: key value ...")
     return parser
@@ -40,6 +49,12 @@ def main():
     args = make_parser().parse_args()
     exp = get_exp(args.exp_file, args.name)
     exp.merge(args.opts)
+    if args.mesh_data is not None:
+        exp.mesh_data = args.mesh_data
+    if args.mesh_model is not None:
+        exp.mesh_model = args.mesh_model
+    if args.fsdp:
+        exp.fsdp = True
     if args.experiment_name:
         exp.exp_name = args.experiment_name
     if exp.seed is not None:

@@ -209,6 +209,67 @@ def test_trainer_fsdp_checkpoint_resume(tmp_path):
     assert moved, "resumed epoch made no update"
 
 
+def _write_yolov_exp(tmp_path, root, name, **knobs):
+    lines = "\n".join(f"        self.{k} = {v!r}" for k, v in knobs.items())
+    exp_file = tmp_path / f"{name}.py"
+    exp_file.write_text(f"""
+import os
+from tscd_tpu.exp.yolov_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = 0.33, 0.125
+        self.num_classes = 30
+        self.minimal_limit = 8
+        self.defualt_p = 8
+        self.heads = 2
+        self.lframe, self.gframe = 0, 4
+        self.lframe_val, self.gframe_val = 0, 4
+        self.input_size = self.test_size = (96, 128)
+        self.max_epoch = 1
+        self.eval_interval = 10
+        self.hsv_prob = 0.0
+        self.flip_prob = 0.0
+        self.data_dir = {str(root)!r}
+        self.train_seq_path = os.path.join({str(root)!r}, "train_seq.npy")
+        self.val_seq_path = os.path.join({str(root)!r}, "val_seq.npy")
+        self.output_dir = {str(tmp_path / "out")!r}
+        self.exp_name = {name!r}
+        self.fix_bn = False
+        self.seed = 0
+{lines}
+""")
+    return str(exp_file)
+
+
+@pytest.mark.slow
+def test_yolov_trainer_dp_mesh_matches_single_device(tmp_path):
+    """YOLOVTrainer inherits the shared step machinery (window batching
+    + trainer mesh + grad accumulation) via the _window_losses hook:
+    mesh_data=2 == single-device window_batch=2, and the single-window
+    path still trains (the family's first trainer-level e2e)."""
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=2,
+                             n_frames=8)
+    base_f = _write_yolov_exp(tmp_path, root, "yv_base_wb2",
+                              window_batch=2)
+    dp_f = _write_yolov_exp(tmp_path, root, "yv_dp2", mesh_data=2)
+
+    t_base, s_base = _run_trainer(base_f)
+    t_dp, s_dp = _run_trainer(dp_f)
+    assert t_base.mesh is None and t_base.window_batch == 2
+    assert t_dp.mesh is not None and t_dp.mesh.shape["data"] == 2
+    assert int(s_base.step) == int(s_dp.step) >= 1
+    _assert_tree_close(_host_params(s_base), _host_params(s_dp))
+
+    import jax
+
+    single_f = _write_yolov_exp(tmp_path, root, "yv_single")
+    t_s, s_s = _run_trainer(single_f)
+    assert t_s.window_batch == 1 and int(s_s.step) >= 1
+    for leaf in jax.tree_util.tree_leaves(_host_params(s_s)):
+        assert np.all(np.isfinite(leaf))
+
+
 def test_opt_state_checkpoint_roundtrip(tmp_path):
     """Momentum must survive save->msgpack->load->restore through the
     REAL stage-2 optimizer recipe (grouped SGD + freeze masks + clip),

@@ -134,11 +134,38 @@ class TSCDTrainer:
             self.state = self.state._replace(
                 step=jnp.asarray(self.start_epoch * iters, jnp.int32))
 
+    def _window_losses(self, params, batch_stats, frames, labels,
+                       time_emb):
+        """Loss dict (+ new BN stats) for ONE window — the piece
+        subclasses override (YOLOVTrainer swaps the forward signature
+        and loss); everything around it (window batching, grad
+        accumulation, mesh sharding, int8 wrapping) is shared."""
+        exp, model = self.exp, self.model
+        L, G = self.lframe, self.gframe
+        fix_bn = getattr(exp, "fix_bn", False)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if fix_bn:
+            # frozen-backbone stage-2: BN in eval mode everywhere,
+            # no stat updates (reference fix_bn semantics).
+            # cat_ota_fg still needs the train-path proposal
+            # injection, so pass labels with train=False: the
+            # head gates injection on labels presence + its
+            # cat_ota_fg attribute
+            out = model.apply(variables, frames, time_emb, L, G,
+                              False, labels=labels)
+            new_bs = batch_stats
+        else:
+            out, mut = model.apply(variables, frames, time_emb, L,
+                                   G, True, labels=labels,
+                                   mutable=["batch_stats"])
+            new_bs = mut["batch_stats"]
+        losses = tscd_loss(out, labels, (8, 16, 32), L,
+                           ota_mode=getattr(exp, "ota_mode", True))
+        return losses, new_bs
+
     def _build_train_step(self):
         exp = self.exp
-        model = self.model
         tx = self.tx
-        L, G = self.lframe, self.gframe
         fix_bn = getattr(exp, "fix_bn", False)
         import optax
 
@@ -154,26 +181,7 @@ class TSCDTrainer:
                         "each grad_accum chunk must still divide over "
                         "mesh_data")
 
-        def window_losses(params, batch_stats, frames, labels, time_emb):
-            variables = {"params": params, "batch_stats": batch_stats}
-            if fix_bn:
-                # frozen-backbone stage-2: BN in eval mode everywhere,
-                # no stat updates (reference fix_bn semantics).
-                # cat_ota_fg still needs the train-path proposal
-                # injection, so pass labels with train=False: the
-                # head gates injection on labels presence + its
-                # cat_ota_fg attribute
-                out = model.apply(variables, frames, time_emb, L, G,
-                                  False, labels=labels)
-                new_bs = batch_stats
-            else:
-                out, mut = model.apply(variables, frames, time_emb, L,
-                                       G, True, labels=labels,
-                                       mutable=["batch_stats"])
-                new_bs = mut["batch_stats"]
-            losses = tscd_loss(out, labels, (8, 16, 32), L,
-                               ota_mode=getattr(exp, "ota_mode", True))
-            return losses, new_bs
+        window_losses = self._window_losses
 
         def step(state: TrainState, frames, labels, time_emb):
             def chunk_loss_fn(params, f, l, t):

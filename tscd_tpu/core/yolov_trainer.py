@@ -8,9 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.yolov import YOLOV, yolov_eval_postprocess
-from ..train.ema import ema_update
 from ..train.losses import yolov_loss
-from ..train.step import TrainState
 from .tscd_trainer import TSCDTrainer
 
 
@@ -37,8 +35,12 @@ class YOLOVTrainer(TSCDTrainer):
     def _init_state(self, sample_batch):
         exp = self.exp
         F = self.lframe + self.gframe
-        x = jnp.asarray(sample_batch["imgs"][:F])
-        te = jnp.asarray(sample_batch["time_embedding"][:F])
+        imgs_np = sample_batch["imgs"]
+        te_np = sample_batch["time_embedding"]
+        if self.window_batch > 1:       # [B, F, ...] -> first window
+            imgs_np, te_np = imgs_np[0], te_np[0]
+        x = jnp.asarray(imgs_np[:F])
+        te = jnp.asarray(te_np[:F])
         variables = self._init_variables(x, te, self.lframe, self.gframe)
         iters = max(len(self.train_loader), 1)
         self.tx = exp.get_optimizer(iters)
@@ -80,48 +82,28 @@ class YOLOVTrainer(TSCDTrainer):
             self.state = self.state._replace(
                 step=jnp.asarray(self.start_epoch * iters, jnp.int32))
 
-    def _build_train_step(self):
+    def _window_losses(self, params, batch_stats, frames, labels,
+                       time_emb):
+        """One-window YOLOV/YOLOV++ loss; the shared TSCDTrainer step
+        machinery (window batching, grad accumulation, trainer mesh)
+        wraps this unchanged."""
         exp = self.exp
         L, G = self.lframe, self.gframe
         # refined frames: YOLOV refines all F, MCA variants refine L
         R = (L + G) if (isinstance(self.model, YOLOV)
                         or exp.agg_type in ("msa", "localagg")) else L
         fix_bn = getattr(exp, "fix_bn", False)
-        tx = self.tx
-        import optax
-
-        def step(state: TrainState, frames, labels, time_emb):
-            def loss_fn(params):
-                variables = {"params": params,
-                             "batch_stats": state.batch_stats}
-                if fix_bn:
-                    out = self._apply_model(variables, frames, time_emb,
-                                            L, G, False)
-                    new_bs = state.batch_stats
-                else:
-                    out, mut = self._apply_model(variables, frames,
-                                                 time_emb, L, G, True,
-                                                 mutable=True)
-                    new_bs = mut["batch_stats"]
-                losses = yolov_loss(out, labels, (8, 16, 32), R)
-                return losses["total_loss"], (losses, new_bs)
-
-            (_, (losses, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_step = state.step + 1
-            new_state = TrainState(
-                params=params, batch_stats=new_bs, opt_state=opt_state,
-                ema_params=ema_update(state.ema_params, params, new_step,
-                                      exp.ema_decay),
-                ema_batch_stats=ema_update(state.ema_batch_stats, new_bs,
-                                           new_step, exp.ema_decay),
-                step=new_step)
-            return new_state, losses
-
-        self._train_step = jax.jit(step, donate_argnums=(0,))
+        variables = {"params": params, "batch_stats": batch_stats}
+        if fix_bn:
+            out = self._apply_model(variables, frames, time_emb,
+                                    L, G, False)
+            new_bs = batch_stats
+        else:
+            out, mut = self._apply_model(variables, frames, time_emb,
+                                         L, G, True, mutable=True)
+            new_bs = mut["batch_stats"]
+        losses = yolov_loss(out, labels, (8, 16, 32), R)
+        return losses, new_bs
 
     def make_predict_fn(self, variables, lframe, gframe):
         C = self.exp.num_classes

@@ -209,6 +209,58 @@ def test_trainer_fsdp_checkpoint_resume(tmp_path):
     assert moved, "resumed epoch made no update"
 
 
+def _write_still_exp(tmp_path, root, name, **knobs):
+    lines = "\n".join(f"        self.{k} = {v!r}" for k, v in knobs.items())
+    exp_file = tmp_path / f"{name}.py"
+    exp_file.write_text(f"""
+from tscd_tpu.exp.yolox_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = 0.33, 0.125
+        self.num_classes = 2
+        self.input_size = self.test_size = (96, 128)
+        self.batch_size = 4
+        self.max_epoch = 1
+        self.no_aug_epochs = 0
+        self.eval_interval = 10
+        self.data_dir = {str(root)!r}
+        self.train_name = self.val_name = "train2017"
+        self.output_dir = {str(tmp_path / "out")!r}
+        self.exp_name = {name!r}
+        self.enable_mixup = False
+        self.mosaic_prob = 0.0
+        self.flip_prob = 0.0
+        self.hsv_prob = 0.0
+        self.seed = 0
+{lines}
+""")
+    return str(exp_file)
+
+
+@pytest.mark.slow
+def test_still_trainer_dp_mesh_matches_single_device(tmp_path):
+    """The still-image Trainer's mesh path: mesh_data=2 over the image
+    batch == the single-device run (BN batch means become GLOBAL means
+    under GSPMD — sync-BN by construction). Same math; the sharded
+    reduction order shifts BN stats by ~1e-3 relative, so stats get a
+    looser bound than params."""
+    from tests.test_e2e_still import _make_coco
+
+    root = _make_coco(str(tmp_path / "coco"))
+    base_f = _write_still_exp(tmp_path, root, "still_base")
+    dp_f = _write_still_exp(tmp_path, root, "still_dp2", mesh_data=2)
+
+    t_base, s_base = _run_trainer(base_f)
+    t_dp, s_dp = _run_trainer(dp_f)
+    assert t_base.mesh is None and t_dp.mesh is not None
+    assert t_dp.mesh.shape["data"] == 2
+    assert int(s_base.step) == int(s_dp.step) >= 1
+    _assert_tree_close(_host_params(s_base), _host_params(s_dp))
+    _assert_tree_close({"bs": s_base.batch_stats},
+                       {"bs": s_dp.batch_stats}, rtol=5e-3, atol=1e-4)
+
+
 def _write_yolov_exp(tmp_path, root, name, **knobs):
     lines = "\n".join(f"        self.{k} = {v!r}" for k, v in knobs.items())
     exp_file = tmp_path / f"{name}.py"

@@ -33,6 +33,13 @@ def translate_swin(sd):
                        "scale" if p[-1] == "weight" else "bias")
             params[key] = arr
             continue
+        if p[0].startswith("norm") and p[0][4:].isdigit():
+            # per-out-index feature norms (reference swin_transfomer.py:
+            # 557-560 add_module(f'norm{i}')) -> our out_norm{i}; dropping
+            # them would serve pretrained Swins with fresh-init out-norms
+            params[(f"out_norm{p[0][4:]}",
+                    "scale" if p[-1] == "weight" else "bias")] = arr
+            continue
         if p[0] != "layers":
             continue
         stage = int(p[1])
@@ -91,6 +98,9 @@ def main():
     out_dir = os.path.dirname(os.path.abspath(args.dst)) or "."
     name = os.path.splitext(os.path.basename(args.dst))[0]
     path = save_checkpoint({"params": params}, out_dir, name=name)
+    if path != args.dst:  # save_checkpoint appends _ckpt; honor dst
+        os.replace(path, args.dst)
+        path = args.dst
     print(f"wrote {path}")
 
 

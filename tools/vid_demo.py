@@ -108,27 +108,46 @@ def main():
 
     # chunk into windows (mirrors photo_to_sequence / tscd_demo.py:212-252)
     all_dets = [None] * len(frames)
-    n_chunks = max(len(frames) // max(L, 1), 1)
     state = None
     t0 = time.time()
-    for ci in range(n_chunks):
-        lo = ci * L
-        local_idx = list(range(lo, min(lo + L, len(frames))))
-        while len(local_idx) < L:
-            local_idx.append(local_idx[-1])
-        pool = [i for i in range(len(frames)) if i not in local_idx] \
-            or local_idx
-        global_idx = [rng.choice(pool) for _ in range(G)]
-        idxs = local_idx + global_idx
-        imgs = processed[idxs]
-        te = get_timing_signal_1d(np.asarray(idxs, np.float32), 256)
-        dets, state = predict(imgs, te, ci != 0, state)
-        for k, fi in enumerate(local_idx[:L]):
-            if fi < len(frames) and all_dets[fi] is None:
-                all_dets[fi] = dets[k]
+    if L == 0:
+        # pure-gframe (YOLOV gmode) exps: consecutive G-sized chunks,
+        # predictions consumed for EVERY frame of the chunk (reference
+        # tools/vid_demo.py:199-210); the tail chunk pads with the last
+        # frame like the reference pads local windows
+        n_chunks = (len(frames) + G - 1) // G
+        for ci in range(n_chunks):
+            idxs = list(range(ci * G, min((ci + 1) * G, len(frames))))
+            padded_idx = idxs + [idxs[-1]] * (G - len(idxs))
+            imgs = processed[padded_idx]
+            te = get_timing_signal_1d(np.asarray(padded_idx, np.float32),
+                                      256)
+            dets, state = predict(imgs, te, ci != 0, state)
+            for k, fi in enumerate(idxs):
+                if all_dets[fi] is None:
+                    all_dets[fi] = dets[k]
+    else:
+        n_chunks = max(len(frames) // L, 1)
+        for ci in range(n_chunks):
+            lo = ci * L
+            local_idx = list(range(lo, min(lo + L, len(frames))))
+            while len(local_idx) < L:
+                local_idx.append(local_idx[-1])
+            pool = [i for i in range(len(frames)) if i not in local_idx] \
+                or local_idx
+            global_idx = [rng.choice(pool) for _ in range(G)]
+            idxs = local_idx + global_idx
+            imgs = processed[idxs]
+            te = get_timing_signal_1d(np.asarray(idxs, np.float32), 256)
+            dets, state = predict(imgs, te, ci != 0, state)
+            for k, fi in enumerate(local_idx[:L]):
+                if fi < len(frames) and all_dets[fi] is None:
+                    all_dets[fi] = dets[k]
     dt = time.time() - t0
     print(f"inference: {1000 * dt / len(frames):.1f} ms/frame "
           f"({len(frames) / dt:.1f} fps)")
+    print(f"frames with predictions: "
+          f"{sum(d is not None for d in all_dets)}/{len(frames)}")
 
     if args.post:
         from tscd_tpu.postprocess.repp import REPP

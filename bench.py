@@ -213,6 +213,7 @@ def run_bench():
     # checkpoints is not measurable in this environment); int8_fps is
     # the serving-mode number.
     int8 = {}
+    vq = r8 = st8 = d_fp = d_q = None
     if os.environ.get("TSCD_BENCH_INT8", "1") != "0":
         try:
             from tscd_tpu.models.blocks import (int8_eval,
@@ -282,6 +283,86 @@ def run_bench():
             traceback.print_exc(file=sys.stderr)
             int8 = {"int8_error": repr(e)}
 
+    # training throughput (stage-2 recipe): the frozen-backbone SGD
+    # step at the reference's video train shape (F=16, lframe=4, 576px,
+    # fix_bn), chained with donated state like the real trainer loop
+    # (tools/profile_train.py methodology). Driver-verifies the train
+    # number that r3's PROFILE.md could only claim from builder
+    # sessions. Ran AFTER the eval timings so its HBM footprint cannot
+    # skew them; int8 trees are dropped first.
+    train = {}
+    if os.environ.get("TSCD_BENCH_TRAIN", "1") != "0":
+        try:
+            # free the int8 section's device trees before building the
+            # train state (quantized param copy + carried bank + dense
+            # cut outputs)
+            vq = r8 = st8 = d_fp = d_q = None  # noqa: F841
+            import optax
+
+            from tscd_tpu.train.ema import ema_update
+            from tscd_tpu.train.losses import tscd_loss
+            from tscd_tpu.train.optim import build_sgd
+            from tscd_tpu.train.step import TrainState, init_train_state
+
+            Lt, Ft = 4, 16
+            strides = (8, 16, 32)
+            xt = jnp.asarray(rng.uniform(0, 255, (Ft, H, W, 3)),
+                             jnp.float32)
+            tet = jnp.asarray(get_timing_signal_1d(np.arange(Ft), 256),
+                              jnp.float32)
+            labels_np = np.zeros((Ft, 40, 5), np.float32)
+            for f in range(Ft):
+                for g in range(6):
+                    wh = rng.uniform(40, 160, 2)
+                    cxy = rng.uniform(wh / 2, H - wh / 2)
+                    labels_np[f, g] = [rng.integers(0, 30), *cxy, *wh]
+            labels = jnp.asarray(labels_np)
+
+            tmodel = TSCD(num_classes=30, depth=1.0, width=width,
+                          num_proposals=P, heads=4, dtype=jnp.bfloat16,
+                          stop_backbone_grad=True)
+            tvars = jax.jit(lambda: tmodel.init(
+                jax.random.PRNGKey(0), xt, tet, Lt, Ft - Lt))()
+            tx = build_sgd(lambda i: 0.01, freeze_prefixes=("backbone",))
+            tstate = init_train_state(tvars, tx)
+
+            def train_step(s):
+                grads = jax.grad(lambda p: tscd_loss(
+                    tmodel.apply({"params": p,
+                                  "batch_stats": s.batch_stats},
+                                 xt, tet, Lt, Ft - Lt, False),
+                    labels, strides, Lt)["total_loss"])(s.params)
+                updates, opt_state = tx.update(grads, s.opt_state,
+                                               s.params)
+                params = optax.apply_updates(s.params, updates)
+                ns = s.step + 1
+                return TrainState(
+                    params=params, batch_stats=s.batch_stats,
+                    opt_state=opt_state,
+                    ema_params=ema_update(s.ema_params, params, ns),
+                    ema_batch_stats=s.ema_batch_stats, step=ns)
+
+            step_fn = jax.jit(train_step, donate_argnums=(0,))
+            tstate = step_fn(tstate)
+            float(jnp.sum(tstate.step))  # barrier (compile + 1 step)
+            t0 = time.perf_counter()
+            t_iters = 8
+            for _ in range(t_iters):
+                tstate = step_fn(tstate)
+            float(jnp.sum(tstate.step))
+            t_dt = time.perf_counter() - t0
+            train = {
+                "train_fps": round(Ft * t_iters / t_dt, 2),
+                "train_step_ms": round(t_dt * 1000.0 / t_iters, 2),
+                "train_shape": f"F={Ft} lframe={Lt} {H}px "
+                               "frozen-backbone SGD fix_bn",
+            }
+        except Exception as e:
+            import traceback
+            print(f"train bench failed: {e!r}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+            train = {"train_error": repr(e)}
+
     print(json.dumps({
         "metric": METRIC,
         "value": round(fps, 2),
@@ -289,6 +370,7 @@ def run_bench():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "stages_ms": stages,
         **int8,
+        **train,
         "versions": toolchain_versions(),
     }))
 

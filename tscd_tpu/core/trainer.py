@@ -33,6 +33,10 @@ class Trainer:
     def __init__(self, exp, args=None):
         self.exp = exp
         self.args = args
+        # host-RNG seeding for the augmentation pipeline (reference
+        # tools/train.py seeds random/torch when exp.seed is not None)
+        from ..utils.seeding import seed_everything
+        seed_everything(getattr(exp, "seed", None))
         self.file_name = os.path.join(exp.output_dir, exp.exp_name)
         os.makedirs(self.file_name, exist_ok=True)
         self.meter = MeterBuffer(window_size=exp.print_interval)

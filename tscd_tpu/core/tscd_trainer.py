@@ -45,6 +45,10 @@ class TSCDTrainer:
     def __init__(self, exp, args=None, val_loader=None):
         self.exp = exp
         self.args = args
+        # host-RNG seeding for the augmentation pipeline (reference
+        # tools/vid_train.py:104-105 seeds random/torch from exp.seed)
+        from ..utils.seeding import seed_everything
+        seed_everything(getattr(exp, "seed", None))
         self.val_loader = val_loader
         self.lframe, self.gframe = exp.lframe, exp.gframe
         self.max_epoch = exp.max_epoch

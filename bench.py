@@ -20,6 +20,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -92,6 +93,15 @@ def toolchain_versions() -> dict:
     return info
 
 
+# exception signatures worth the 300s worker-recovery backoff: backend/
+# transport faults. Anything else (ImportError, shape mismatch, a bug in
+# a bench section) is deterministic — re-running it 3x with 300s sleeps
+# just delays the structured-error line the driver machine-reads.
+_RETRYABLE = re.compile(
+    r"UNAVAILABLE|DEADLINE|INTERNAL|unavailable|connection|socket|"
+    r"terminated|worker|XlaRuntimeError|RuntimeError", re.I)
+
+
 def main():
     err = None
     for attempt in range(ATTEMPTS):
@@ -109,6 +119,10 @@ def main():
             import traceback
             traceback.print_exc(file=sys.stderr)
             err = f"bench attempt raised {type(e).__name__}: {e}"
+            if not _RETRYABLE.search(err):
+                print(f"non-retryable failure, failing fast: {err}",
+                      file=sys.stderr)
+                break
     print(json.dumps({
         "metric": METRIC,
         "value": None,

@@ -383,3 +383,91 @@ def test_window_loader_batch_windows(tmp_path):
     assert b["labels"].shape[0] == 2
     assert b["time_embedding"].shape == (2, 4, 256)
     assert len(b["paths"]) == 2 and len(b["paths"][0]) == 4
+
+
+def test_window_loader_rejects_oversized_batch(tmp_path):
+    """batch_windows > dataset windows must fail with a diagnosable
+    error at construction, not an empty loader -> bare StopIteration in
+    the trainer's first next()."""
+    from tscd_tpu.data.vid import VIDDataset, WindowLoader
+
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=1,
+                             n_frames=5)
+    ds = VIDDataset(file_path=os.path.join(root, "train_seq.npy"),
+                    img_size=(96, 128), lframe=1, gframe=3, val=False,
+                    mode="random", dataset_pth=root, training=True)
+    with pytest.raises(ValueError, match="batch_windows"):
+        WindowLoader(ds, batch_windows=len(ds.res) + 1)
+
+
+def test_yolov_trainer_optimizer_gets_window_batch(tmp_path):
+    """YOLOVTrainer must inherit TSCDTrainer._init_state so the
+    global-window-batch LR scaling (reference lr-per-img x global batch,
+    tscd_base.Exp.get_optimizer) reaches its optimizer — a local copy
+    dropped the window_batch kwarg, silently training mesh/window-batched
+    yolov runs at the 1-window LR."""
+    from tscd_tpu.core.yolov_trainer import YOLOVTrainer
+
+    assert "_init_state" not in YOLOVTrainer.__dict__, (
+        "YOLOVTrainer must not fork _init_state (LR-scaling kwarg)")
+
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=2,
+                             n_frames=8)
+    f = _write_yolov_exp(tmp_path, root, "yv_wb_opt", window_batch=2)
+    from tscd_tpu.exp import get_exp
+    exp = get_exp(f)
+    seen = {}
+    orig = exp.get_optimizer
+
+    def spy(iters, **kw):
+        seen.update(kw)
+        return orig(iters, **kw)
+
+    exp.get_optimizer = spy
+    trainer = exp.get_trainer(None)
+    assert isinstance(trainer, YOLOVTrainer)
+    trainer.train_loader = exp.get_data_loader(
+        batch_windows=trainer.window_batch)
+    trainer._init_state(next(iter(trainer.train_loader)))
+    assert seen.get("window_batch") == 2
+
+
+def test_exp_nmsthre_reaches_eval_postprocess(monkeypatch):
+    """exp.nmsthre / exp.test_conf must reach tscd_eval_postprocess
+    through the trainer's eval fn (they were hard-coded 0.5/0.001 —
+    the demo's --nms flag was silently ignored; reference TSCD.forward
+    threads nms_thresh through)."""
+    import jax.numpy as jnp
+
+    import tscd_tpu.core.tscd_trainer as tt
+    from tscd_tpu.exp.tscd_base import Exp
+    from tscd_tpu.ops.position import get_timing_signal_1d
+
+    exp = Exp()
+    exp.depth, exp.width = 0.33, 0.125
+    exp.num_classes = 30
+    exp.minimal_limit = 8
+    exp.heads = 2
+    exp.lframe_val, exp.gframe_val = 1, 3
+    exp.input_size = exp.test_size = (96, 128)
+    exp.nmsthre = 0.123
+    exp.test_conf = 0.002
+
+    seen = {}
+    real = tt.tscd_eval_postprocess
+
+    def spy(out, lf, C, **kw):
+        seen.update(kw)
+        return real(out, lf, C, **kw)
+
+    monkeypatch.setattr(tt, "tscd_eval_postprocess", spy)
+    trainer = tt.TSCDTrainer(exp, None)
+    x = jnp.zeros((4, 96, 128, 3), jnp.float32)
+    te = jnp.asarray(get_timing_signal_1d(np.arange(4), 256),
+                     jnp.float32)
+    variables = trainer._init_variables(x, te, 1, 3)
+    predict = trainer.make_predict_fn(variables, 1, 3)
+    predict(np.zeros((4, 96, 128, 3), np.float32), np.asarray(te),
+            False, None)
+    assert seen.get("nms_thresh") == 0.123
+    assert seen.get("conf_thre") == 0.002

@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--bank-frames", type=int, default=31)
     ap.add_argument("--no-int8", action="store_true")
     args = ap.parse_args()
+    # >=2 warmup calls: the first compiles, and timing must start from a
+    # bank-carrying steady state (fresh-vs-carried state retrace trap,
+    # PROFILE.md §latency); warmup 0 would also leave the post-warmup
+    # sync's `sel` unbound.
+    args.warmup = max(args.warmup, 2)
 
     from tscd_tpu.models.yolov import YOLOVOnline, yolov_eval_postprocess
     from tscd_tpu.models.yolov_heads import init_online_bank

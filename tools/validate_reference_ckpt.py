@@ -380,11 +380,20 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
 
     if args.selftest:
-        args.exp_file, args.ckpt = _write_selftest_assets(args.workdir)
         args.torch_eval = True
         args.cpu = True
         if args.map_tol == 0.3:
             args.map_tol = 0.05  # identical weights => tight gate
+    if args.cpu:
+        # --cpu must also bind THIS process to CPU, not just the eval
+        # subprocess: step 4 (compare_detections) traces our flax model
+        # in-process, and on this rig a sitecustomize pins the axon TPU
+        # first — the config update is the only pre-backend-init switch
+        # that sticks (CLAUDE.md).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.selftest:
+        args.exp_file, args.ckpt = _write_selftest_assets(args.workdir)
     assert args.ckpt, "--ckpt required (or --selftest)"
 
     from tscd_tpu.exp import get_exp

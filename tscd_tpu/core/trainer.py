@@ -142,8 +142,10 @@ class Trainer:
 
                     from ..data.vid import multiscale_resize
                     if n % 10 == 0 or not hasattr(self, "_ms_size"):
-                        self._ms_size = exp.random_input_size(
-                            _random.Random(int(self.state.step)))
+                        from ..utils.rig import clamp_multiscale_size
+                        self._ms_size = clamp_multiscale_size(
+                            exp.random_input_size(
+                                _random.Random(int(self.state.step))))
                     imgs_np, labels_np = multiscale_resize(
                         np.asarray(imgs_np), np.asarray(labels_np),
                         self._ms_size)

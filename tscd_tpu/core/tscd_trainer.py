@@ -335,9 +335,11 @@ class TSCDTrainer:
             import random as _random
             from ..data.vid import multiscale_resize
             if n % 10 == 0 or not hasattr(self, "_ms_size"):
-                self._ms_size = self.exp.random_input_size(
-                    _random.Random(int(self.state.step) if self.state
-                                   is not None else 0))
+                from ..utils.rig import clamp_multiscale_size
+                self._ms_size = clamp_multiscale_size(
+                    self.exp.random_input_size(
+                        _random.Random(int(self.state.step) if self.state
+                                       is not None else 0)))
             imgs_np = np.asarray(imgs_np)
             labels_np = np.asarray(labels_np)
             if B > 1:  # resize operates per-frame: flatten the window axis
@@ -389,13 +391,18 @@ class TSCDTrainer:
     def _build_eval_fn(self, lframe, gframe, sp_mesh=None):
         model = self.model
         C = self.exp.num_classes
+        # exp-driven final postprocess (reference TSCD.forward
+        # nms_thresh / test_conf — the demo's --nms lands here)
+        nms = float(getattr(self.exp, "nmsthre", 0.5))
+        conf = float(getattr(self.exp, "test_conf", 0.001))
         if sp_mesh is not None:
             # sequence-parallel eval: frame axis sharded over the mesh
             # (per-frame convs stay on their shard, only proposal
             # features ride the all-gather) — parallel/sharded_eval.py
             from ..parallel.sharded_eval import make_sharded_tscd_eval
             inner = make_sharded_tscd_eval(model, sp_mesh, lframe,
-                                           gframe, C)
+                                           gframe, C, nms_thresh=nms,
+                                           conf_thre=conf)
 
             def eval_fn(variables, x, te, st):
                 (refined, original), new_st = inner(variables, x, te, st)
@@ -406,7 +413,8 @@ class TSCDTrainer:
         @jax.jit
         def eval_fn(variables, x, te, st):
             out = model.apply(variables, x, te, lframe, gframe, False, st)
-            refined, original = tscd_eval_postprocess(out, lframe, C)
+            refined, original = tscd_eval_postprocess(
+                out, lframe, C, nms_thresh=nms, conf_thre=conf)
             return refined, original, out["matcher_state"]
 
         return eval_fn

@@ -32,55 +32,11 @@ class YOLOVTrainer(TSCDTrainer):
         return self.model.init(jax.random.PRNGKey(self.exp.seed or 0),
                                x, L, G, te)
 
-    def _init_state(self, sample_batch):
-        exp = self.exp
-        F = self.lframe + self.gframe
-        imgs_np = sample_batch["imgs"]
-        te_np = sample_batch["time_embedding"]
-        if self.window_batch > 1:       # [B, F, ...] -> first window
-            imgs_np, te_np = imgs_np[0], te_np[0]
-        x = jnp.asarray(imgs_np[:F])
-        te = jnp.asarray(te_np[:F])
-        variables = self._init_variables(x, te, self.lframe, self.gframe)
-        iters = max(len(self.train_loader), 1)
-        self.tx = exp.get_optimizer(iters)
-        from ..train.checkpoint import load_checkpoint, load_tolerant
-        from ..train.step import init_train_state
-        ckpt_path = getattr(self.args, "ckpt", None) if self.args else None
-        opt_ckpt = None
-        if getattr(self.args, "resume", False) and self.args:
-            import os as _os
-            path = ckpt_path or _os.path.join(self.file_name,
-                                              "latest_ckpt.msgpack")
-            restored = load_checkpoint(path)
-            self.start_epoch = int(restored.get("start_epoch", 0))
-            variables = {
-                "params": load_tolerant(variables["params"],
-                                        restored["params"]),
-                "batch_stats": load_tolerant(
-                    variables.get("batch_stats", {}),
-                    restored.get("batch_stats", {}))}
-            # momentum survives a resume (reference trainer.py:291)
-            opt_ckpt = restored.get("opt_state")
-            print(f"resumed from {path} at epoch {self.start_epoch}")
-        elif ckpt_path:
-            restored = load_checkpoint(ckpt_path)
-            variables = {
-                "params": load_tolerant(variables["params"],
-                                        restored.get("params", restored)),
-                "batch_stats": load_tolerant(
-                    variables.get("batch_stats", {}),
-                    restored.get("batch_stats", {}))}
-            print(f"loaded fine-tune weights from {ckpt_path}")
-        self.state = init_train_state(variables, self.tx)
-        if opt_ckpt is not None:
-            from ..train.checkpoint import restore_opt_state
-            self.state = self.state._replace(
-                opt_state=restore_opt_state(self.state.opt_state,
-                                            opt_ckpt))
-        if self.start_epoch:
-            self.state = self.state._replace(
-                step=jnp.asarray(self.start_epoch * iters, jnp.int32))
+    # _init_state is inherited from TSCDTrainer: it already goes through
+    # the overridden _init_variables above, and the parent version passes
+    # window_batch to exp.get_optimizer (the global-window-batch LR
+    # scaling, reference lr-per-img rule yolox_base.py:183) — a local
+    # copy here silently skipped that scaling under mesh/window batching.
 
     def _window_losses(self, params, batch_stats, frames, labels,
                        time_emb):
@@ -111,12 +67,15 @@ class YOLOVTrainer(TSCDTrainer):
              if (isinstance(self.model, YOLOV)
                  or self.exp.agg_type in ("msa", "localagg"))
              else max(lframe, 1))
+        nms = float(getattr(self.exp, "nmsthre", 0.5))
+        conf = float(getattr(self.exp, "test_conf", 0.001))
 
         @jax.jit
         def eval_fn(variables, x, te):
             out = self._apply_model(variables, x, te, lframe, gframe,
                                     False)
-            refined, original = yolov_eval_postprocess(out, R, C)
+            refined, original = yolov_eval_postprocess(
+                out, R, C, nms_thresh=nms, conf_thre=conf)
             return refined, original
 
         def dispatch(imgs, te, resume, state):

@@ -451,6 +451,12 @@ class WindowLoader:
         # The last partial group is dropped so every step has the same
         # static shape.
         self.batch_windows = max(int(batch_windows), 1)
+        if self.batch_windows > len(dataset.res):
+            raise ValueError(
+                f"batch_windows({self.batch_windows}) exceeds the "
+                f"dataset's {len(dataset.res)} windows — every optimizer "
+                f"step needs batch_windows full windows (shrink "
+                f"mesh_data/window_batch or enlarge the dataset)")
 
     def __len__(self):
         return len(self.dataset.res) // self.batch_windows

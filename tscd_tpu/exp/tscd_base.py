@@ -112,6 +112,12 @@ class Exp(YoloxExp):
         self.enable_multiscale = False      # ±multiscale_range x64 resize
         self.fix_bn = True                  # frozen backbone => eval-mode BN
         self.seed = 2024
+        # eval postprocess: video defaults (reference TSCD.forward
+        # nms_thresh=0.5 / test_conf=0.001, tscd_base.py:60-61) — these
+        # reach tscd_eval_postprocess via the trainer's eval fn and the
+        # demo's --nms override
+        self.nmsthre = 0.5
+        self.test_conf = 0.001
         # data paths
         self.data_dir = "./datasets/ILSVRC2015"
         self.train_seq_path = "./yolox/data/datasets/train_seq.npy"
@@ -148,7 +154,8 @@ class Exp(YoloxExp):
                     reconf=self.reconf, decouple_reg=self.decouple_reg,
                     use_pre_nms=self.use_pre_nms,
                     sim_thresh=self.sim_thresh,
-                    conf_sim_thresh=self.conf_sim_thresh, test_conf=0.001,
+                    conf_sim_thresh=self.conf_sim_thresh,
+                    test_conf=self.test_conf,
                     sparse_vid_towers=self.sparse_vid_towers,
                     remat_backbone=self.remat_backbone,
                     stop_backbone_grad=self.stop_backbone_grad)
@@ -228,7 +235,8 @@ class Exp(YoloxExp):
         from ..eval.vid_evaluator import OVISEvaluator, VIDEvaluator
         cls = OVISEvaluator if self.dataset_name == "ovis" else VIDEvaluator
         return cls(val_loader or self.get_eval_loader(),
-                   img_size=self.test_size, confthre=0.001, nmsthre=0.5,
+                   img_size=self.test_size, confthre=self.test_conf,
+                   nmsthre=self.nmsthre,
                    num_classes=self.num_classes,
                    lframe=self.lframe_val, gframe=self.gframe_val,
                    traj_linking=self.traj_linking)

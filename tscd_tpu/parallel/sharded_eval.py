@@ -22,7 +22,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_sharded_tscd_eval(model, mesh: Mesh, lframe: int, gframe: int,
                            num_classes: int,
-                           postprocess: bool = True):
+                           postprocess: bool = True,
+                           nms_thresh: float = 0.5,
+                           conf_thre: float = 0.001):
     """Returns eval_fn(variables, frames (F,H,W,3), te (F,256), state)
     -> ((refined, original) or head_out, new_state) compiled with the
     frame axis sharded over mesh axis 'data'."""
@@ -36,8 +38,9 @@ def make_sharded_tscd_eval(model, mesh: Mesh, lframe: int, gframe: int,
         out = model.apply(variables, frames, te, lframe, gframe, False,
                           state)
         if postprocess:
-            refined, original = tscd_eval_postprocess(out, lframe,
-                                                      num_classes)
+            refined, original = tscd_eval_postprocess(
+                out, lframe, num_classes, nms_thresh=nms_thresh,
+                conf_thre=conf_thre)
             return (refined, original), out["matcher_state"]
         return out, out["matcher_state"]
 

@@ -121,3 +121,19 @@ class Exp(B):
     outs = [os.path.join(dp, f) for dp, _, fs in os.walk(out_dir)
             for f in fs]
     assert outs, "no demo output written"
+
+    # static-calibrated serving: --int8-calib K calibrates on the
+    # stream's own first K windows (quantize_int8_scan) and serves with
+    # static scales
+    out_dir2 = str(tmp_path / "demo_out_static")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "tscd_demo.py"),
+         "-f", str(exp_file), "-c", ckpt, "--path", str(frames_dir),
+         "--output_dir", out_dir2, "--int8", "--int8-calib", "1"],
+        capture_output=True, text=True, timeout=480, env=env, cwd=REPO)
+    assert r.returncode == 0, (
+        f"tscd_demo --int8-calib failed:\n{r.stderr[-2000:]}")
+    assert "calibrated static scales on 1 windows" in r.stdout
+    outs2 = [os.path.join(dp, f) for dp, _, fs in os.walk(out_dir2)
+             for f in fs]
+    assert outs2, "no static-int8 demo output written"

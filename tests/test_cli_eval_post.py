@@ -77,6 +77,21 @@ class Exp(B):
     res = json.load(open(out_json))
     assert "mAP" in res and np.isfinite(res["mAP"])
 
+    # static-calibrated serving mode: --int8-calib K folds activation
+    # maxima over the first K val windows (quantize_int8_scan) and
+    # serves with static scales — the measured serving default
+    out_json2 = str(tmp_path / "eval_static.json")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "tscd_eval.py"),
+         "-f", str(exp_file), "-c", ckpt, "--tnum", "2",
+         "--int8", "--int8-calib", "2", "--output", out_json2],
+        capture_output=True, text=True, timeout=480, env=env, cwd=REPO)
+    assert r.returncode == 0, (
+        f"tscd_eval --int8-calib failed:\n{r.stderr[-2000:]}")
+    assert "calibrated static scales on 2 windows" in r.stdout
+    res2 = json.load(open(out_json2))
+    assert "mAP" in res2 and np.isfinite(res2["mAP"])
+
 
 @pytest.mark.slow
 def test_tscd_eval_cli_sp_sharded(tmp_path):

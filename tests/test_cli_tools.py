@@ -358,6 +358,34 @@ def test_vid_train_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_vid_eval_cli(tmp_path):
+    """tools/vid_eval.py subprocess (YOLOV family eval — reference
+    tools/vid_eval.py): --tnum mini-eval with --output json, then the
+    --int8 serving mode on the same checkpoint."""
+    import json
+
+    from tests.test_e2e_train import _make_vid_dataset
+
+    root = _make_vid_dataset(str(tmp_path / "vid"), n_videos=2,
+                             n_frames=8, size=(96, 128))
+    exp_file = _yolov_exp_file(
+        tmp_path, "tiny_vid_eval", 0, 4,
+        data_dir=str(root),
+        train_seq_path=os.path.join(str(root), "train_seq.npy"),
+        val_seq_path=os.path.join(str(root), "val_seq.npy"),
+        output_dir=str(tmp_path / "out"))
+    ckpt = _yolov_ckpt(exp_file, tmp_path)
+
+    for tag, extra in (("fp", []), ("int8", ["--int8"])):
+        out_json = str(tmp_path / f"vid_eval_{tag}.json")
+        _run([os.path.join(REPO, "tools", "vid_eval.py"),
+              "-f", str(exp_file), "-c", ckpt, "--tnum", "2",
+              "--output", out_json] + extra)
+        res = json.load(open(out_json))
+        assert "mAP" in res and np.isfinite(res["mAP"]), (tag, res)
+
+
+@pytest.mark.slow
 def test_tscd_cam_cli(tmp_path):
     """tools/tscd_cam.py: backbone CAM heatmaps for all three FPN
     levels on a synthetic image (reference tools/tscd_cam.py:13)."""

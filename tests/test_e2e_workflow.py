@@ -130,6 +130,7 @@ class Exp(B):
                 "--yolox-exp", str(yolox_exp),
                 "--tscd-exp", str(tscd_exp),
                 "--workdir", str(tmp_path / "wf"),
+                "--int8-eval", "2",
                 "--annotations", gts_pkl], timeout=3000)
     summary = json.loads(out.strip().splitlines()[-1])
 
@@ -142,6 +143,12 @@ class Exp(B):
     assert base > 0.25, summary
     # README.md:141-144 oracle: post-processing must not hurt
     assert post >= base - 0.02, summary
+    # int8 serving of the SAME trained VIDEO checkpoint (static scales
+    # calibrated on 2 val windows) must hold accuracy — the first int8
+    # accuracy evidence on the TSCD model itself rather than still
+    # YOLOX (PROFILE.md §int8 measured the still-image side)
+    assert summary["int8_mAP"] > 0.2, summary
+    assert summary["int8_mAP_drop"] <= 0.1, summary
 
 
 def test_repp_post_recovers_flicker(tmp_path):

@@ -77,6 +77,12 @@ def make_parser():
                         "--post (README.md:141-144)")
     p.add_argument("--tnum", type=int, default=-1)
     p.add_argument("--min-tubelet-score", type=float, default=0.3)
+    p.add_argument("--int8-eval", type=int, default=0, metavar="K",
+                   help="also evaluate the stage-2 checkpoint in int8 "
+                        "serving mode (static scales calibrated on the "
+                        "first K val windows — the deployment analog of "
+                        "the reference's TensorRT int8 path) and record "
+                        "the fp-vs-int8 mAP delta in the summary")
     p.add_argument("--skip-stage1", action="store_true",
                    help="reuse an existing stage-1 checkpoint")
     p.add_argument("--stage1-opts", nargs="*", default=[])
@@ -119,6 +125,23 @@ def main():
     last = out.strip().splitlines()[-1].split()
     summary["rough_mAP"], summary["rough_AP50"] = (float(last[0]),
                                                    float(last[1]))
+
+    # 3b. optional int8 serving-mode eval of the SAME checkpoint:
+    #     static scales calibrated on the first K val windows
+    #     (tools/tscd_eval.py --int8-calib), mAP delta vs the fp eval
+    #     above — the per-run accuracy check a deployment wants before
+    #     switching precisions.
+    if args.int8_eval:
+        out = run([py, os.path.join(TOOLS, "tscd_eval.py"), "-f",
+                   args.tscd_exp, "-c", stage2_ckpt, "--tnum",
+                   str(args.tnum), "--int8", "--int8-calib",
+                   str(args.int8_eval)],
+                  os.path.join(args.workdir, "int8_eval.log"))
+        last = out.strip().splitlines()[-1].split()
+        summary["int8_mAP"], summary["int8_AP50"] = (float(last[0]),
+                                                     float(last[1]))
+        summary["int8_mAP_drop"] = round(
+            summary["rough_mAP"] - summary["int8_mAP"], 4)
 
     # 4. REPP-format prediction dump (README.md:135: tools/val_to_imdb.py)
     imdb = os.path.join(args.workdir, "val_imdb.pkl")

@@ -30,7 +30,9 @@ def make_parser():
     parser.add_argument("--path", type=str, required=True,
                         help="video file or image directory")
     parser.add_argument("--conf", type=float, default=0.25)
-    parser.add_argument("--nms", type=float, default=0.5)
+    parser.add_argument("--nms", type=float, default=None,
+                        help="final-NMS IoU threshold (exp.nmsthre; "
+                        "video default 0.5)")
     parser.add_argument("--output_dir", type=str, default="./demo_out")
     parser.add_argument("--post", action="store_true",
                         help="REPP tubelet post-processing")
@@ -38,6 +40,11 @@ def make_parser():
     parser.add_argument("--int8", action="store_true",
                         help="w8a8 int8 serving mode (dynamic "
                         "activation scales; models/blocks.py int8_eval)")
+    parser.add_argument("--int8-calib", type=int, default=0, metavar="K",
+                        help="with --int8: calibrate STATIC activation "
+                        "scales on the video's first K windows and serve "
+                        "with them (the measured serving default, "
+                        "PROFILE.md §int8); 0 = dynamic scales")
     parser.add_argument("opts", nargs="*")
     return parser
 
@@ -69,11 +76,15 @@ def main():
     from tscd_tpu.utils.visualize import vis
 
     args = make_parser().parse_args()
-    if getattr(args, "int8", False):
+    if args.int8_calib:
+        args.int8 = True
+    if args.int8 and not args.int8_calib:
         from tscd_tpu.models.blocks import set_int8_eval
-        set_int8_eval(True)
+        set_int8_eval(True)  # dynamic scales: sticky mode is enough
     exp = get_exp(args.exp_file)
     exp.merge(args.opts)
+    if args.nms is not None:  # reaches tscd_eval_postprocess via the
+        exp.nmsthre = args.nms  # trainer's eval fn (was silently ignored)
     L, G = exp.lframe_val, exp.gframe_val
     F = L + G
     H, W = exp.test_size
@@ -101,6 +112,41 @@ def main():
         "batch_stats": load_tolerant(variables.get("batch_stats", {}),
                                      restored.get("batch_stats", {}))}
 
+    import contextlib
+    int8_ctx = contextlib.nullcontext()
+    if args.int8_calib:
+        # static PTQ on the stream's own first K windows (representative
+        # windows built like the serving loop's, from a cloned rng so
+        # the loop's global sampling is unchanged), folded through one
+        # scan program (models/blocks.py quantize_int8_scan)
+        from tscd_tpu.models.blocks import int8_eval, quantize_int8_scan
+        from tscd_tpu.models.matching import init_matcher_state
+        crng = random.Random(42)
+        xs, ts = [], []
+        for lo in range(0, len(frames), max(L, 1)):
+            if len(xs) >= args.int8_calib:
+                break
+            li = list(range(lo, min(lo + L, len(frames))))
+            while len(li) < L:
+                li.append(li[-1])
+            pool = [i for i in range(len(frames)) if i not in li] or li
+            gi = [crng.choice(pool) for _ in range(G)]
+            xs.append(processed[li + gi].astype(np.float32))
+            ts.append(get_timing_signal_1d(
+                np.asarray(li + gi, np.float32), 256))
+        P = exp.minimal_limit
+        hidden = int(256 * exp.width)
+        st0 = init_matcher_state(
+            P, hidden, 4 * hidden,
+            dtype=getattr(trainer.model, "dtype", jnp.float32))
+        variables = quantize_int8_scan(
+            lambda v, xa, ta: trainer.model.apply(
+                v, xa, ta, L, G, False, st0, mutable=["quant"]),
+            variables, jnp.asarray(np.stack(xs)),
+            jnp.asarray(np.stack(ts), jnp.float32))
+        int8_ctx = int8_eval(static=True)
+        print(f"int8: calibrated static scales on {len(xs)} windows")
+
     predict = trainer.make_predict_fn(variables, L, G)
     rng = random.Random(42)
 
@@ -116,20 +162,21 @@ def main():
     all_dets = [None] * len(frames)
     state = None
     t0 = time.time()
-    for ci, lo in enumerate(starts):
-        local_idx = list(range(lo, min(lo + L, len(frames))))
-        while len(local_idx) < L:
-            local_idx.append(local_idx[-1])
-        pool = [i for i in range(len(frames)) if i not in local_idx] \
-            or local_idx
-        global_idx = [rng.choice(pool) for _ in range(G)]
-        idxs = local_idx + global_idx
-        imgs = processed[idxs]
-        te = get_timing_signal_1d(np.asarray(idxs, np.float32), 256)
-        dets, state = predict(imgs, te, ci != 0, state)
-        for k, fi in enumerate(local_idx[:L]):
-            if fi < len(frames) and all_dets[fi] is None:
-                all_dets[fi] = dets[k]
+    with int8_ctx:  # static int8: the predict trace happens here
+        for ci, lo in enumerate(starts):
+            local_idx = list(range(lo, min(lo + L, len(frames))))
+            while len(local_idx) < L:
+                local_idx.append(local_idx[-1])
+            pool = [i for i in range(len(frames))
+                    if i not in local_idx] or local_idx
+            global_idx = [rng.choice(pool) for _ in range(G)]
+            idxs = local_idx + global_idx
+            imgs = processed[idxs]
+            te = get_timing_signal_1d(np.asarray(idxs, np.float32), 256)
+            dets, state = predict(imgs, te, ci != 0, state)
+            for k, fi in enumerate(local_idx[:L]):
+                if fi < len(frames) and all_dets[fi] is None:
+                    all_dets[fi] = dets[k]
     dt = time.time() - t0
     print(f"inference: {1000 * dt / len(frames):.1f} ms/frame "
           f"({len(frames) / dt:.1f} fps)")

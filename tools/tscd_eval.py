@@ -29,6 +29,13 @@ def make_parser():
     parser.add_argument("--int8", action="store_true",
                         help="w8a8 int8 serving mode (dynamic "
                         "activation scales; models/blocks.py int8_eval)")
+    parser.add_argument("--int8-calib", type=int, default=0, metavar="K",
+                        help="with --int8: calibrate STATIC activation "
+                        "scales on the first K val windows "
+                        "(quantize_int8_scan) and serve with them — the "
+                        "measured serving default (~13x lower accuracy "
+                        "drop than dynamic at production widths, "
+                        "PROFILE.md §int8). 0 = dynamic scales")
     parser.add_argument("--sp", type=int, default=0,
                         help="sequence-parallel eval over N devices: the "
                         "frame axis of each window shards across a mesh "
@@ -46,9 +53,11 @@ def main():
     from tscd_tpu.train.checkpoint import load_checkpoint, load_tolerant
 
     args = make_parser().parse_args()
-    if getattr(args, "int8", False):
+    if args.int8_calib:
+        args.int8 = True
+    if args.int8 and not args.int8_calib:
         from tscd_tpu.models.blocks import set_int8_eval
-        set_int8_eval(True)
+        set_int8_eval(True)  # dynamic scales: sticky mode is enough
     exp = get_exp(args.exp_file)
     exp.merge(args.opts)
     if args.dataset:
@@ -62,7 +71,8 @@ def main():
     loader = exp.get_eval_loader()
     trainer = TSCDTrainer(exp, args, val_loader=loader)
 
-    first = next(iter(loader))
+    loader_it = iter(loader)
+    first = next(loader_it)
     import jax.numpy as jnp
     F = exp.lframe_val + exp.gframe_val
     variables = trainer._init_variables(
@@ -76,6 +86,39 @@ def main():
         "batch_stats": load_tolerant(variables.get("batch_stats", {}),
                                      restored.get("batch_stats", {}))}
 
+    import contextlib
+    int8_ctx = contextlib.nullcontext()
+    if args.int8_calib:
+        # static PTQ at the eval shape: fold per-layer activation maxima
+        # over the first K val windows in ONE scan program (the flat
+        # full-window calibrate program kernel-faults the axon worker —
+        # models/blocks.py quantize_int8_scan), then trace the eval
+        # forward inside int8_eval(static=True) so it consumes the
+        # calibrated scales.
+        from tscd_tpu.models.blocks import int8_eval, quantize_int8_scan
+        from tscd_tpu.models.matching import init_matcher_state
+        xs, ts = [first["imgs"][:F]], [first["time_embedding"][:F]]
+        for _ in range(args.int8_calib - 1):
+            b = next(loader_it, None)
+            if b is None:
+                break
+            xs.append(b["imgs"][:F])
+            ts.append(b["time_embedding"][:F])
+        P = exp.minimal_limit
+        hidden = int(256 * exp.width)
+        st0 = init_matcher_state(
+            P, hidden, 4 * hidden,
+            dtype=getattr(trainer.model, "dtype", jnp.float32))
+        variables = quantize_int8_scan(
+            lambda v, xa, ta: trainer.model.apply(
+                v, xa, ta, exp.lframe_val, exp.gframe_val, False, st0,
+                mutable=["quant"]),
+            variables,
+            jnp.asarray(np.stack(xs).astype(np.float32)),
+            jnp.asarray(np.stack(ts).astype(np.float32)))
+        int8_ctx = int8_eval(static=True)
+        print(f"int8: calibrated static scales on {len(xs)} windows")
+
     sp_mesh = None
     if args.sp and args.sp > 1:
         from tscd_tpu.parallel.mesh import make_mesh
@@ -87,7 +130,8 @@ def main():
     evaluator = exp.get_evaluator(loader)
     predict = trainer.make_predict_fn(variables, exp.lframe_val,
                                       exp.gframe_val, sp_mesh=sp_mesh)
-    res = evaluator.evaluate(predict)
+    with int8_ctx:  # static int8: the first predict call traces here
+        res = evaluator.evaluate(predict)
     print(res.get("mAP"), res.get("AP50"))
     if args.output:
         import json

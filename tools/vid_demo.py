@@ -32,7 +32,9 @@ def make_parser():
     parser.add_argument("--path", type=str, required=True,
                         help="video file or image directory")
     parser.add_argument("--conf", type=float, default=0.25)
-    parser.add_argument("--nms", type=float, default=0.5)
+    parser.add_argument("--nms", type=float, default=None,
+                        help="final-NMS IoU threshold (exp.nmsthre; "
+                        "video default 0.5)")
     parser.add_argument("--output_dir", type=str, default="./demo_out")
     parser.add_argument("--post", action="store_true",
                         help="REPP tubelet post-processing")
@@ -76,6 +78,8 @@ def main():
         set_int8_eval(True)
     exp = get_exp(args.exp_file)
     exp.merge(args.opts)
+    if args.nms is not None:  # reaches yolov_eval_postprocess via the
+        exp.nmsthre = args.nms  # trainer's eval fn (was silently ignored)
     L, G = exp.lframe_val, exp.gframe_val
     F = L + G
     H, W = exp.test_size

@@ -1,4 +1,5 @@
-"""TSCD video evaluation CLI (reference: tools/tscd_eval.py:125).
+"""YOLOV/YOLOV++ video evaluation CLI (reference: tools/vid_eval.py —
+same surface as tscd_eval for the YOLOV family).
 
 --tnum N runs only the first N val sequences ("Roughly Evaluation",
 reference README.md:151-154); -1 = full eval.
@@ -26,6 +27,9 @@ def make_parser():
     parser.add_argument("--tnum", type=int, default=-1)
     parser.add_argument("--output", type=str, default=None,
                         help="optional json dump of per-frame predictions")
+    parser.add_argument("--int8", action="store_true",
+                        help="w8a8 int8 serving mode (dynamic "
+                        "activation scales; models/blocks.py int8_eval)")
     parser.add_argument("opts", nargs="*")
     return parser
 
@@ -37,6 +41,9 @@ def main():
     from tscd_tpu.train.checkpoint import load_checkpoint, load_tolerant
 
     args = make_parser().parse_args()
+    if args.int8:
+        from tscd_tpu.models.blocks import set_int8_eval
+        set_int8_eval(True)
     exp = get_exp(args.exp_file)
     exp.merge(args.opts)
     if args.dataset:
@@ -71,6 +78,12 @@ def main():
                                       exp.gframe_val)
     res = evaluator.evaluate(predict)
     print(res.get("mAP"), res.get("AP50"))
+    if args.output:  # the flag existed but was never honored
+        import json
+        with open(args.output, "w") as f:
+            json.dump({k: v for k, v in res.items()
+                       if not hasattr(v, "shape")}, f, indent=1)
+        print(f"wrote {args.output}")
 
 
 if __name__ == "__main__":

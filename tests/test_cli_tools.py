@@ -319,6 +319,28 @@ def test_vid_demo_cli_gmode(tmp_path):
 
 
 @pytest.mark.slow
+def test_vid_demo_int8_static_cli(tmp_path):
+    """vid_demo --int8 --int8-calib on a YOLOV++ exp (local+global
+    windows): static scales calibrated on the stream's own first window
+    via the chunked-scan path, then served — the YOLOV-family analog of
+    tscd_demo --int8-calib (covers the te-taking YOLOVPlus apply
+    signature and the L>0 calibration-window builder)."""
+    frames_dir = _write_frames(tmp_path, n=6)
+    exp_file = _yolov_exp_file(tmp_path, "tiny_vid_int8s", 2, 2,
+                               model_family="yolov_plus")
+    ckpt = _yolov_ckpt(exp_file, tmp_path)
+
+    out_dir = str(tmp_path / "demo_out")
+    r = _run([os.path.join(REPO, "tools", "vid_demo.py"),
+              "-f", str(exp_file), "-c", ckpt, "--path", str(frames_dir),
+              "--output_dir", out_dir, "--int8-calib", "1"])
+    assert "calibrated static scales on 1 windows" in r.stdout, \
+        r.stdout[-800:]
+    assert "frames with predictions: 6/6" in r.stdout, r.stdout[-800:]
+    assert os.path.exists(os.path.join(out_dir, "tscd_out.mp4"))
+
+
+@pytest.mark.slow
 def test_vid_demo_wpost_cli(tmp_path):
     """vid_demo_wpost alias: local-frame windows + REPP post on by
     default (reference tools/vid_demo_wpost.py)."""
@@ -376,13 +398,16 @@ def test_vid_eval_cli(tmp_path):
         output_dir=str(tmp_path / "out"))
     ckpt = _yolov_ckpt(exp_file, tmp_path)
 
-    for tag, extra in (("fp", []), ("int8", ["--int8"])):
+    for tag, extra in (("fp", []), ("int8", ["--int8"]),
+                       ("int8s", ["--int8-calib", "2"])):
         out_json = str(tmp_path / f"vid_eval_{tag}.json")
-        _run([os.path.join(REPO, "tools", "vid_eval.py"),
-              "-f", str(exp_file), "-c", ckpt, "--tnum", "2",
-              "--output", out_json] + extra)
+        r = _run([os.path.join(REPO, "tools", "vid_eval.py"),
+                  "-f", str(exp_file), "-c", ckpt, "--tnum", "2",
+                  "--output", out_json] + extra)
         res = json.load(open(out_json))
         assert "mAP" in res and np.isfinite(res["mAP"]), (tag, res)
+        if tag == "int8s":  # static scales calibrated via the scan path
+            assert "calibrated static scales" in r.stdout, r.stdout[-800:]
 
 
 @pytest.mark.slow

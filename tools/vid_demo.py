@@ -42,6 +42,11 @@ def make_parser():
     parser.add_argument("--int8", action="store_true",
                         help="w8a8 int8 serving mode (dynamic "
                         "activation scales; models/blocks.py int8_eval)")
+    parser.add_argument("--int8-calib", type=int, default=0, metavar="K",
+                        help="with --int8: calibrate STATIC activation "
+                        "scales on the video's first K windows and serve "
+                        "with them (the measured serving default, "
+                        "PROFILE.md §int8); 0 = dynamic scales")
     parser.add_argument("opts", nargs="*")
     return parser
 
@@ -73,9 +78,11 @@ def main():
     from tscd_tpu.utils.visualize import vis
 
     args = make_parser().parse_args()
-    if getattr(args, "int8", False):
+    if args.int8_calib:
+        args.int8 = True
+    if args.int8 and not args.int8_calib:
         from tscd_tpu.models.blocks import set_int8_eval
-        set_int8_eval(True)
+        set_int8_eval(True)  # dynamic scales: sticky mode is enough
     exp = get_exp(args.exp_file)
     exp.merge(args.opts)
     if args.nms is not None:  # reaches yolov_eval_postprocess via the
@@ -107,6 +114,49 @@ def main():
         "batch_stats": load_tolerant(variables.get("batch_stats", {}),
                                      restored.get("batch_stats", {}))}
 
+    import contextlib
+    int8_ctx = contextlib.nullcontext()
+    if args.int8_calib:
+        # static PTQ on the stream's own first K windows (built like the
+        # serving loop's below, from a cloned rng so the loop's global
+        # sampling is unchanged), folded through one scan program
+        # (models/blocks.py quantize_int8_scan; same contract as
+        # tscd_demo --int8-calib with the YOLOV forward signatures)
+        from tscd_tpu.models.blocks import int8_eval, quantize_int8_scan
+        from tscd_tpu.models.yolov import YOLOV
+
+        crng = random.Random(42)
+        xs, ts = [], []
+        step = max(L, 1) if L else G
+        for lo in range(0, len(frames), step):
+            if len(xs) >= args.int8_calib:
+                break
+            if L == 0:
+                li = list(range(lo, min(lo + G, len(frames))))
+                li += [li[-1]] * (G - len(li))
+                idxs = li
+            else:
+                li = list(range(lo, min(lo + L, len(frames))))
+                while len(li) < L:
+                    li.append(li[-1])
+                pool = [i for i in range(len(frames))
+                        if i not in li] or li
+                idxs = li + [crng.choice(pool) for _ in range(G)]
+            xs.append(processed[idxs].astype(np.float32))
+            ts.append(get_timing_signal_1d(
+                np.asarray(idxs, np.float32), 256))
+        if isinstance(trainer.model, YOLOV):
+            apply_q = lambda v, xa, ta: trainer.model.apply(
+                v, xa, L, G, False, mutable=["quant"])
+        else:
+            apply_q = lambda v, xa, ta: trainer.model.apply(
+                v, xa, L, G, ta, False, mutable=["quant"])
+        variables = quantize_int8_scan(
+            apply_q, variables, jnp.asarray(np.stack(xs)),
+            jnp.asarray(np.stack(ts), jnp.float32))
+        int8_ctx = int8_eval(static=True)
+        print(f"int8: calibrated static scales on {len(xs)} windows")
+
     predict = trainer.make_predict_fn(variables, L, G)
     rng = random.Random(42)
 
@@ -114,39 +164,41 @@ def main():
     all_dets = [None] * len(frames)
     state = None
     t0 = time.time()
-    if L == 0:
-        # pure-gframe (YOLOV gmode) exps: consecutive G-sized chunks,
-        # predictions consumed for EVERY frame of the chunk (reference
-        # tools/vid_demo.py:199-210); the tail chunk pads with the last
-        # frame like the reference pads local windows
-        n_chunks = (len(frames) + G - 1) // G
-        for ci in range(n_chunks):
-            idxs = list(range(ci * G, min((ci + 1) * G, len(frames))))
-            padded_idx = idxs + [idxs[-1]] * (G - len(idxs))
-            imgs = processed[padded_idx]
-            te = get_timing_signal_1d(np.asarray(padded_idx, np.float32),
-                                      256)
-            dets, state = predict(imgs, te, ci != 0, state)
-            for k, fi in enumerate(idxs):
-                if all_dets[fi] is None:
-                    all_dets[fi] = dets[k]
-    else:
-        n_chunks = max(len(frames) // L, 1)
-        for ci in range(n_chunks):
-            lo = ci * L
-            local_idx = list(range(lo, min(lo + L, len(frames))))
-            while len(local_idx) < L:
-                local_idx.append(local_idx[-1])
-            pool = [i for i in range(len(frames)) if i not in local_idx] \
-                or local_idx
-            global_idx = [rng.choice(pool) for _ in range(G)]
-            idxs = local_idx + global_idx
-            imgs = processed[idxs]
-            te = get_timing_signal_1d(np.asarray(idxs, np.float32), 256)
-            dets, state = predict(imgs, te, ci != 0, state)
-            for k, fi in enumerate(local_idx[:L]):
-                if fi < len(frames) and all_dets[fi] is None:
-                    all_dets[fi] = dets[k]
+    with int8_ctx:  # static int8: the predict trace happens here
+        if L == 0:
+            # pure-gframe (YOLOV gmode) exps: consecutive G-sized chunks,
+            # predictions consumed for EVERY frame of the chunk (reference
+            # tools/vid_demo.py:199-210); the tail chunk pads with the last
+            # frame like the reference pads local windows
+            n_chunks = (len(frames) + G - 1) // G
+            for ci in range(n_chunks):
+                idxs = list(range(ci * G, min((ci + 1) * G, len(frames))))
+                padded_idx = idxs + [idxs[-1]] * (G - len(idxs))
+                imgs = processed[padded_idx]
+                te = get_timing_signal_1d(
+                    np.asarray(padded_idx, np.float32), 256)
+                dets, state = predict(imgs, te, ci != 0, state)
+                for k, fi in enumerate(idxs):
+                    if all_dets[fi] is None:
+                        all_dets[fi] = dets[k]
+        else:
+            n_chunks = max(len(frames) // L, 1)
+            for ci in range(n_chunks):
+                lo = ci * L
+                local_idx = list(range(lo, min(lo + L, len(frames))))
+                while len(local_idx) < L:
+                    local_idx.append(local_idx[-1])
+                pool = [i for i in range(len(frames))
+                        if i not in local_idx] or local_idx
+                global_idx = [rng.choice(pool) for _ in range(G)]
+                idxs = local_idx + global_idx
+                imgs = processed[idxs]
+                te = get_timing_signal_1d(np.asarray(idxs, np.float32),
+                                          256)
+                dets, state = predict(imgs, te, ci != 0, state)
+                for k, fi in enumerate(local_idx[:L]):
+                    if fi < len(frames) and all_dets[fi] is None:
+                        all_dets[fi] = dets[k]
     dt = time.time() - t0
     print(f"inference: {1000 * dt / len(frames):.1f} ms/frame "
           f"({len(frames) / dt:.1f} fps)")

@@ -45,9 +45,13 @@ class YOLOVTrainer(TSCDTrainer):
         wraps this unchanged."""
         exp = self.exp
         L, G = self.lframe, self.gframe
-        # refined frames: YOLOV refines all F, MCA variants refine L
-        R = (L + G) if (isinstance(self.model, YOLOV)
-                        or exp.agg_type in ("msa", "localagg")) else L
+        # refined frames — mirrors the heads' own slicing: YOLOVHead
+        # refines ALL F frames; YOLOVPlusHead slices agg features to
+        # [:L] whenever lframe > 0 for EVERY agg_type (msa/localagg/mca,
+        # yolov_heads.py L = max(lframe,1) if lframe>0 else F — the
+        # reference v_plus_head keeps local rows only the same way) and
+        # to F when lframe == 0
+        R = (L + G) if (isinstance(self.model, YOLOV) or L == 0) else L
         fix_bn = getattr(exp, "fix_bn", False)
         variables = {"params": params, "batch_stats": batch_stats}
         if fix_bn:
@@ -63,10 +67,13 @@ class YOLOVTrainer(TSCDTrainer):
 
     def make_predict_fn(self, variables, lframe, gframe):
         C = self.exp.num_classes
+        # same refined-frame rule as _window_losses (the old agg_type
+        # condition mis-sized R for YOLOV++ msa/localagg with lframe>0 —
+        # the head still slices to local frames; caught by the vid_demo
+        # int8 CLI smoke on a yolov_plus exp)
         R = ((lframe + gframe)
-             if (isinstance(self.model, YOLOV)
-                 or self.exp.agg_type in ("msa", "localagg"))
-             else max(lframe, 1))
+             if (isinstance(self.model, YOLOV) or lframe == 0)
+             else lframe)
         nms = float(getattr(self.exp, "nmsthre", 0.5))
         conf = float(getattr(self.exp, "test_conf", 0.001))
 

@@ -131,7 +131,7 @@ class ELANNet(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False):
         dt = self.dtype
         w = lambda c: int(c * self.width)
-        x = x.astype(dt) / 255.0
+        x = x.astype(dt)  # raw pixels, as the reference ELANNet consumes
         x = BaseConv(w(32), 3, 1, act=self.act, dtype=dt,
                      name="stem0")(x, train)
         x = BaseConv(w(64), 3, 2, act=self.act, dtype=dt,

@@ -25,7 +25,7 @@ class CSPDarknetP6(nn.Module):
         Conv = DWConv if self.depthwise else BaseConv
         w = lambda c: int(c * self.width)
         d = lambda n: max(round(n * self.depth), 1)
-        x = x.astype(dt) / 255.0
+        x = x.astype(dt)  # raw pixels, matching CSPDarknet/the reference
         x = Focus(w(64), 3, act=self.act, dtype=dt, name="stem")(x, train)
         outs = {}
         specs = [("dark2", 128, d(3), False),

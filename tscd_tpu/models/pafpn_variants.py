@@ -68,12 +68,17 @@ class PAFPNNeck(nn.Module):
 
 
 class _BackbonePAFPN(nn.Module):
-    """Backbone features -> 1x1 BaseConv projections -> PAFPNNeck."""
+    """Backbone features -> PAFPNNeck, wired exactly like the reference
+    wrappers (yolo_pafpn.py:120/241/350): the neck's first convs consume
+    the raw backbone channels directly (flax infers input dims), no
+    projection layers — so converted reference checkpoints line up
+    1:1. `out_channels` is the (pre-width) pyramid the heads see."""
 
     depth: float = 1.0
     width: float = 1.0
     act: str = "silu"
     depthwise: bool = False
+    out_channels: Sequence[int] = (256, 512, 1024)
     dtype: Any = jnp.float32
 
     def make_backbone(self):
@@ -81,15 +86,9 @@ class _BackbonePAFPN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
-        ch = [int(c * self.width) for c in (256, 512, 1024)]
+        ch = [int(c * self.width) for c in self.out_channels]
         feats = self.make_backbone()(x, train)
         x2, x1, x0 = feats["dark3"], feats["dark4"], feats["dark5"]
-        x2 = BaseConv(ch[0], 1, 1, act=self.act, dtype=self.dtype,
-                      name="proj2")(x2, train)
-        x1 = BaseConv(ch[1], 1, 1, act=self.act, dtype=self.dtype,
-                      name="proj1")(x1, train)
-        x0 = BaseConv(ch[2], 1, 1, act=self.act, dtype=self.dtype,
-                      name="proj0")(x0, train)
         return PAFPNNeck(ch, self.depth, self.depthwise, self.act,
                          dtype=self.dtype, name="neck")(x2, x1, x0, train)
 

@@ -1,48 +1,60 @@
-"""ResNet-50/101 backbone (reference: yolox/models/resnet.py:11).
+"""ResNet-50/101 backbone (reference: yolox/models/resnet.py:11, built
+on ResNetBottleneck network_blocks.py:292).
 
-NHWC bottleneck ResNet returning {"dark3","dark4","dark5"}
-(C3/C4/C5, stride 8/16/32).
+Mirrors the reference exactly — including its two deviations from
+torchvision: the stem is a BaseConv (conv+BN+act with symmetric
+(k-1)//2 padding), and ConvBn3 applies the activation BEFORE the
+residual add (network_blocks.py:302,310), with another activation after
+the add. NHWC; returns {"dark3","dark4","dark5"} = the reference's
+stage3/4/5 (stride 8/16/32, channels 512/1024/2048).
+
+Input contract: raw 0-255 pixels (the reference pipeline does no
+normalization), so converted reference checkpoints are exact.
 """
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .blocks import BaseConv, get_activation
 
-class Bottleneck(nn.Module):
+
+class ResNetBottleneck(nn.Module):
+    """network_blocks.py:292 — all three convs are BaseConv (with act);
+    stride sits on the 3x3 (torchvision placement)."""
+
     planes: int
     stride: int = 1
     downsample: bool = False
+    act: str = "relu"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         dt = self.dtype
-        bn = lambda n: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, dtype=dt, name=n)
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=dt,
-                      name="conv1")(x)
-        out = nn.relu(bn("bn1")(out))
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
-                      use_bias=False, dtype=dt, name="conv2")(out)
-        out = nn.relu(bn("bn2")(out))
-        out = nn.Conv(4 * self.planes, (1, 1), use_bias=False, dtype=dt,
-                      name="conv3")(out)
-        out = bn("bn3")(out)
+        out = BaseConv(self.planes, 1, 1, act=self.act, dtype=dt,
+                       name="ConvBn1")(x, train)
+        out = BaseConv(self.planes, 3, self.stride, act=self.act,
+                       dtype=dt, name="ConvBn2")(out, train)
+        out = BaseConv(4 * self.planes, 1, 1, act=self.act, dtype=dt,
+                       name="ConvBn3")(out, train)
         if self.downsample:
             x = nn.Conv(4 * self.planes, (1, 1),
                         strides=(self.stride,) * 2, use_bias=False,
                         dtype=dt, name="down_conv")(x)
-            x = bn("down_bn")(x)
-        return nn.relu(out + x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="down_bn")(x)
+        return get_activation(self.act)(out + x)
 
 
 class ResNet(nn.Module):
-    """depth 50 or 101."""
+    """depth 50 or 101 (ResNet_cfg resnet.py:4)."""
 
     depth: int = 50
+    act: str = "relu"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -50,23 +62,26 @@ class ResNet(nn.Module):
         assert self.depth in (50, 101)
         layers = (3, 4, 6, 3) if self.depth == 50 else (3, 4, 23, 3)
         dt = self.dtype
-        x = x.astype(dt) / 255.0
-        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False, dtype=dt,
-                    name="conv1")(x)
-        x = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, dtype=dt, name="bn1")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = x.astype(dt)  # raw pixels, like the reference
+        x = BaseConv(64, 7, 2, act=self.act, dtype=dt,
+                     name="stem")(x, train)
+        # MaxPool2d(3, 2, padding=1) — torch pads symmetric; XLA SAME
+        # would pad (0,1), shifting every window by a pixel
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
         outs = {}
         names = {1: "dark3", 2: "dark4", 3: "dark5"}
         planes = (64, 128, 256, 512)
         for i, n_blocks in enumerate(layers):
             stride = 1 if i == 0 else 2
-            x = Bottleneck(planes[i], stride, downsample=True, dtype=dt,
-                           name=f"layer{i + 1}_0")(x, train)
+            x = ResNetBottleneck(planes[i], stride, downsample=True,
+                                 act=self.act, dtype=dt,
+                                 name=f"layer{i + 1}_0")(x, train)
             for b in range(1, n_blocks):
-                x = Bottleneck(planes[i], 1, dtype=dt,
-                               name=f"layer{i + 1}_{b}")(x, train)
+                x = ResNetBottleneck(planes[i], 1, act=self.act, dtype=dt,
+                                     name=f"layer{i + 1}_{b}")(x, train)
             if i in names:
                 outs[names[i]] = x
         return outs

@@ -111,7 +111,7 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if ws == self.window_size else 0
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         pad_h = (ws - H % ws) % ws
         pad_w = (ws - W % ws) % ws
         if pad_h or pad_w:
@@ -132,10 +132,10 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W]
         x = shortcut + x
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is erf-exact
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
@@ -156,7 +156,7 @@ class PatchMerging(nn.Module):
         x = x.reshape(B, H // 2, 2, W // 2, 2, C)
         x = x.transpose(0, 1, 3, 4, 2, 5).reshape(B, H // 2, W // 2,
                                                   4 * C)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 
@@ -176,13 +176,16 @@ class SwinTransformer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         dt = self.dtype
-        x = x.astype(dt) / 255.0
+        # raw 0-255 pixels, like the reference pipeline feeds its Swin
+        # (yolo_pafpn.py:143 passes the YOLOX-preproc'd image straight
+        # in) — keeps converted reference checkpoints numerically exact
+        x = x.astype(dt)
         x = nn.Conv(self.embed_dim, (4, 4), strides=(4, 4), dtype=dt,
                     name="patch_embed")(x)
-        x = nn.LayerNorm(dtype=dt, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="patch_norm")(x)
 
         outs = {}
-        names = {1: "dark3", 2: "dark4", 3: "dark5"}
+        names = {0: "dark2", 1: "dark3", 2: "dark4", 3: "dark5"}
         for i, depth in enumerate(self.depths):
             dim = self.embed_dim * (2 ** i)
             for b in range(depth):

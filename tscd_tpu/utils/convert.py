@@ -209,3 +209,133 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt.get("model", ckpt)
     return {k: v.cpu().numpy() for k, v in sd.items()}
+
+
+# --------------------------------------------------------------------------
+# Alternate-backbone converters (Swin / FocalNet / ResNet), mirroring the
+# reference modules swin_transfomer.py:457, focal.py:336, resnet.py:11.
+# Shared leaf layout rules with torch_to_flax; names are rewritten to
+# this repo's module paths (models/swin.py, focalnet.py, resnet.py).
+
+
+def _swin_parts(p):
+    """torch swin name parts (sans leaf) -> flax path, or None to drop."""
+    if p[0] == "patch_embed":
+        return ["patch_embed"] if p[1] == "proj" else ["patch_norm"]
+    if p[0].startswith("norm") and p[0][4:].isdigit():
+        # per-out-index feature norms (swin_transfomer.py:557-560)
+        return [f"out_norm{p[0][4:]}"]
+    if p[0] != "layers":
+        return None
+    stage = int(p[1])
+    if p[2] == "blocks":
+        base = [f"layer{stage}_block{int(p[3])}"]
+        rest = p[4:]
+        if not rest:
+            return None
+        if rest[0] in ("norm1", "norm2"):
+            return base + [rest[0]]
+        if rest[0] == "attn":
+            if rest[1:] == ["relative_position_index"]:
+                return None                      # recomputed at trace time
+            return base + ["attn"] + rest[1:]
+        if rest[0] == "mlp":
+            return base + [f"mlp_{rest[1]}"]
+        return None
+    if p[2] == "downsample":
+        return [f"merge{stage}", "norm" if p[3] == "norm" else "reduction"]
+    return None
+
+
+def _focalnet_parts(p):
+    if p[0] == "patch_embed":
+        return ["patch_embed"] if p[1] == "proj" else ["patch_norm"]
+    if p[0].startswith("norm") and p[0][4:].isdigit():
+        return [f"out_norm{p[0][4:]}"]
+    if p[0] != "layers":
+        return None
+    stage = int(p[1])
+    if p[2] == "blocks":
+        base = [f"layer{stage}_block{int(p[3])}"]
+        rest = p[4:]
+        if not rest:                             # gamma_1 / gamma_2 leaf
+            return base
+        if rest[0] in ("norm1", "norm2"):
+            return base + [rest[0]]
+        if rest[0] == "modulation":
+            sub = rest[1:]
+            if sub and sub[0] == "focal_layers":
+                # Sequential(conv, GELU) -> focal_conv_{l}
+                return base + ["modulation", f"focal_conv_{int(sub[1])}"]
+            return base + ["modulation"] + sub
+        if rest[0] == "mlp":
+            return base + [f"mlp_{rest[1]}"]
+        return None
+    if p[2] == "downsample":
+        return [f"down{stage}" if p[3] == "proj" else f"down_norm{stage}"]
+    return None
+
+
+def _resnet_parts(p):
+    if p[0] == "stem":
+        return ["stem"] + p[1:]
+    m = re.fullmatch(r"layer(\d+)", p[0])
+    if not m:
+        return None
+    base = [f"layer{m.group(1)}_{int(p[1])}"]
+    rest = p[2:]
+    if rest[0] == "downsample":
+        return base + ["down_conv" if rest[1] == "0" else "down_bn"]
+    return base + rest                            # ConvBnK.{conv,bn}
+
+
+_BACKBONE_PART_FNS = {
+    "swin": _swin_parts,
+    "focalnet": _focalnet_parts,
+    "resnet": _resnet_parts,
+}
+
+
+def backbone_to_flax(state_dict: Dict[str, np.ndarray], family: str,
+                     prefix: Tuple[str, ...] = ()) -> Dict[str, Dict]:
+    """torch backbone state_dict -> {'params','batch_stats'} for the
+    matching tscd_tpu.models module. `prefix` nests the result (e.g.
+    ("backbone",) when converting a full YOLOPAFPN_* wrapper)."""
+    part_fn = _BACKBONE_PART_FNS[family]
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    for name, val in state_dict.items():
+        arr = np.asarray(getattr(val, "numpy", lambda: val)())
+        p = name.split(".")
+        leaf = p[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        parts = part_fn(p[:-1])
+        if parts is None:
+            continue
+        key = prefix + tuple(parts)
+        if parts[-1] == "bn" or parts[-1].endswith("_bn"):
+            if leaf == "weight":
+                params[key + ("scale",)] = arr
+            elif leaf == "bias":
+                params[key + ("bias",)] = arr
+            elif leaf == "running_mean":
+                stats[key + ("mean",)] = arr
+            elif leaf == "running_var":
+                stats[key + ("var",)] = arr
+            continue
+        if leaf == "weight":
+            if arr.ndim == 4:
+                params[key + ("kernel",)] = arr.transpose(2, 3, 1, 0)
+            elif arr.ndim == 2:
+                params[key + ("kernel",)] = arr.T
+            else:
+                params[key + ("scale",)] = arr
+        elif leaf == "bias":
+            params[key + ("bias",)] = arr
+        else:   # gamma_1/gamma_2, relative_position_bias_table, ...
+            params[key + (leaf,)] = arr
+    return {
+        "params": traverse_util.unflatten_dict(params),
+        "batch_stats": traverse_util.unflatten_dict(stats),
+    }

@@ -41,7 +41,16 @@ BASELINE_FPS = 69.0  # YOLOX-L V100 fp16, docs/model_zoo.md:9 (14.5 ms/img)
 METRIC = "tscd_large_576_eval_fps"
 
 # --- orchestrator knobs (env-overridable) -------------------------------
-PROBE_TIMEOUT_S = int(os.environ.get("TSCD_BENCH_PROBE_TIMEOUT", "150"))
+# Probe timeout must be GENEROUS: killing a probe subprocess mid-backend-
+# init wedges the worker exactly like a mid-compile kill (observed r5 —
+# a 150s probe kill against a slow-initializing worker caused a ~45 min
+# outage). 300s comfortably covers a healthy-but-slow init (~30s) while
+# a kill against a truly-down worker happens pre-connection (harmless).
+PROBE_TIMEOUT_S = int(os.environ.get("TSCD_BENCH_PROBE_TIMEOUT", "300"))
+# grace after a section process exits before the next probe touches the
+# device: the worker holds the dead client's session briefly, and
+# probing into that window risks the kill-mid-init wedge above
+SECTION_GRACE_S = int(os.environ.get("TSCD_BENCH_SECTION_GRACE", "75"))
 PROBE_POLL_S = max(1, int(os.environ.get("TSCD_BENCH_PROBE_POLL", "60")))
 # how long to wait for a wedged worker to come back before an attempt:
 # sized to the ~15-min recovery plus slack (VERDICT r4 weak #1)
@@ -196,6 +205,7 @@ def main():
                       file=sys.stderr, flush=True)
                 continue
             payload, err = run_section(name, deadline)
+            time.sleep(min(SECTION_GRACE_S, max(0, deadline - time.time())))
             if not err:
                 results[name] = payload
                 errors.pop(name, None)

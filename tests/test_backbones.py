@@ -72,16 +72,38 @@ def test_yolofpn_legacy(x):
     assert o2.shape[1] == HW // 8 and o0.shape[1] == HW // 32
 
 
-def test_elan_fpn(x):
-    m = ELANFPN(width=0.25)
-    v = m.init(jax.random.PRNGKey(0), x, False)
-    p3, p4, p5 = m.apply(v, x, False)
-    assert p3.shape == (1, HW // 8, HW // 8, int(256 * 0.25))
-    assert p5.shape == (1, HW // 32, HW // 32, int(1024 * 0.25))
+def test_elan_backbone_fpn_tiny(x):
+    from tscd_tpu.models.elan import ELANNet
+    bb = ELANNet(arch="tiny")
+    vb = bb.init(jax.random.PRNGKey(0), x, False)
+    c3, c4, c5 = bb.apply(vb, x, False)
+    assert c3.shape == (1, HW // 8, HW // 8, 128)
+    assert c5.shape == (1, HW // 32, HW // 32, 256)  # SPPELAN halves 512
+    m = ELANFPN(arch="tiny", in_channels=(128, 256, 256))
+    v = m.init(jax.random.PRNGKey(0), (c3, c4, c5), False)
+    p3, p4, p5 = m.apply(v, (c3, c4, c5), False)
+    assert p3.shape == (1, HW // 8, HW // 8, 128)
+    assert p5.shape == (1, HW // 32, HW // 32, 512)
+
+
+def test_elan_fpn_p6_w6(x):
+    from tscd_tpu.models.elan import ELANFPNP6, ELANNet
+    bb = ELANNet(arch="W6", return_idx=(2, 3, 4, 5))
+    vb = bb.init(jax.random.PRNGKey(0), x, False)
+    feats = bb.apply(vb, x, False)
+    assert [f.shape[1] for f in feats] == [HW // 8, HW // 16, HW // 32,
+                                          HW // 64]
+    assert feats[3].shape[-1] == 512  # SPPCSPC halves 1024
+    m = ELANFPNP6(arch="W6", in_channels=(256, 512, 768, 512))
+    v = m.init(jax.random.PRNGKey(0), feats, False)
+    outs = m.apply(v, feats, False)
+    assert [o.shape[-1] for o in outs] == [256, 512, 768, 1024]
+    assert [o.shape[1] for o in outs] == [HW // 8, HW // 16, HW // 32,
+                                         HW // 64]
 
 
 def test_yolov7_model(x):
-    m = YOLOv7(num_classes=5, width=0.25)
+    m = YOLOv7(num_classes=5, arch="tiny")
     v = m.init(jax.random.PRNGKey(0), x, False, True)
     out = m.apply(v, x, False, True)
     A = (HW // 8) ** 2 + (HW // 16) ** 2 + (HW // 32) ** 2

@@ -43,7 +43,7 @@ def test_model_factory():
     t = create_model("tscd", num_classes=5, depth=0.33, width=0.125,
                      num_proposals=8, heads=2)
     assert type(t).__name__ == "TSCD"
-    v7 = create_model("yolov7", num_classes=5, width=0.25)
+    v7 = create_model("yolov7", num_classes=5, arch="tiny")
     assert type(v7).__name__ == "YOLOv7"
 
 

@@ -18,36 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import BaseConv, get_activation
-
-
-class ResNetBottleneck(nn.Module):
-    """network_blocks.py:292 — all three convs are BaseConv (with act);
-    stride sits on the 3x3 (torchvision placement)."""
-
-    planes: int
-    stride: int = 1
-    downsample: bool = False
-    act: str = "relu"
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        dt = self.dtype
-        out = BaseConv(self.planes, 1, 1, act=self.act, dtype=dt,
-                       name="ConvBn1")(x, train)
-        out = BaseConv(self.planes, 3, self.stride, act=self.act,
-                       dtype=dt, name="ConvBn2")(out, train)
-        out = BaseConv(4 * self.planes, 1, 1, act=self.act, dtype=dt,
-                       name="ConvBn3")(out, train)
-        if self.downsample:
-            x = nn.Conv(4 * self.planes, (1, 1),
-                        strides=(self.stride,) * 2, use_bias=False,
-                        dtype=dt, name="down_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             name="down_bn")(x)
-        return get_activation(self.act)(out + x)
+from .blocks import BaseConv, ResNetBottleneck
 
 
 class ResNet(nn.Module):
@@ -76,7 +47,7 @@ class ResNet(nn.Module):
         planes = (64, 128, 256, 512)
         for i, n_blocks in enumerate(layers):
             stride = 1 if i == 0 else 2
-            x = ResNetBottleneck(planes[i], stride, downsample=True,
+            x = ResNetBottleneck(planes[i], stride, has_downsample=True,
                                  act=self.act, dtype=dt,
                                  name=f"layer{i + 1}_0")(x, train)
             for b in range(1, n_blocks):

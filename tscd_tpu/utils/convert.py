@@ -285,14 +285,92 @@ def _resnet_parts(p):
     base = [f"layer{m.group(1)}_{int(p[1])}"]
     rest = p[2:]
     if rest[0] == "downsample":
-        return base + ["down_conv" if rest[1] == "0" else "down_bn"]
+        # Sequential(conv, bn) -> BaseConv(act="id") submodules
+        return base + ["downsample", "conv" if rest[1] == "0" else "bn"]
     return base + rest                            # ConvBnK.{conv,bn}
+
+
+def _elan_inner(rest):
+    """Shared inner-module renames for the ELAN family."""
+    out = []
+    i = 0
+    while i < len(rest):
+        r = rest[i]
+        if r == "bottlenecks":
+            out.append(f"bottleneck_{int(rest[i + 1])}")
+            i += 2
+        elif r in ("rbr_dense", "rbr_1x1"):
+            # Sequential(conv, bn) -> conv kernel on the module name,
+            # bn params on <name>_bn
+            out.append(r if rest[i + 1] == "0" else f"{r}_bn")
+            i += 2
+        elif r == "rbr_identity":
+            out.append("rbr_identity_bn")
+            i += 1
+        elif r == "maxpool" or r == "mp":
+            i += 1                                  # paramless
+        else:
+            out.append(r)
+            i += 1
+    return out
+
+
+def _elan_stage_module(arch, stage_i, j, n_stages):
+    """blocks.{i}.{j} -> our stage module name, None if paramless."""
+    if arch == "tiny":
+        seq = (["elan"] if stage_i == 0 else ["mp", "elan"])
+        if stage_i == n_stages - 1:
+            seq = seq + ["spp"]
+    else:
+        seq = ["down", "elan"]
+        if stage_i == n_stages - 1:
+            seq = seq + ["spp"]
+    kind = seq[j]
+    if kind == "mp":
+        return None
+    return f"stage{stage_i}_{kind}"
+
+
+def _make_elan_parts(arch):
+    n_stages = len(_ELAN_STAGES[arch])
+
+    def parts(p):
+        if p[0] == "stem":
+            if p[1] == "conv":                      # W6-family Focus
+                return ["stem", "conv"] + _elan_inner(p[2:])
+            return [f"stem_{int(p[1])}"] + _elan_inner(p[2:])
+        if p[0] == "blocks":
+            stage_i, j = int(p[1]), int(p[2])
+            mod = _elan_stage_module(arch, stage_i, j, n_stages)
+            if mod is None:
+                return None
+            return [mod] + _elan_inner(p[3:])
+        # FPN / FPNP6 top-level names map 1:1 except repconvs
+        if p[0] == "repconvs":
+            return [f"repconv_{int(p[1])}"] + _elan_inner(p[2:])
+        return [p[0]] + _elan_inner(p[1:])
+
+    return parts
+
+
+# stage counts per arch (ch table minus the stem row)
+_ELAN_STAGES = {k: [None] * (5 if k in ("tiny", "L", "X") else 6)
+                for k in ("tiny", "L", "X", "W6", "E6", "D6", "E6E")}
+for _k in _ELAN_STAGES:
+    _ELAN_STAGES[_k] = _ELAN_STAGES[_k][1:]        # 4 (P5) or 5 (P6)
 
 
 _BACKBONE_PART_FNS = {
     "swin": _swin_parts,
     "focalnet": _focalnet_parts,
     "resnet": _resnet_parts,
+    "elan-tiny": _make_elan_parts("tiny"),
+    "elan-L": _make_elan_parts("L"),
+    "elan-X": _make_elan_parts("X"),
+    "elan-W6": _make_elan_parts("W6"),
+    "elan-E6": _make_elan_parts("E6"),
+    "elan-D6": _make_elan_parts("D6"),
+    "elan-E6E": _make_elan_parts("E6E"),
 }
 
 

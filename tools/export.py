@@ -35,6 +35,12 @@ def make_parser():
     p.add_argument("--int8", action="store_true",
                    help="export the w8a8 int8 serving forward (dynamic "
                         "activation scales baked into the artifact)")
+    p.add_argument("--raw", action="store_true",
+                   help="export the RAW head output (B, A, 5+C logits) "
+                        "instead of the decoded boxes — the contract the "
+                        "C++ PJRT runner + native decode/NMS consume "
+                        "(native/pjrt_runner.cpp), mirroring the "
+                        "reference's TensorRT demo split")
     p.add_argument("opts", nargs="*")
     return p
 
@@ -136,7 +142,9 @@ def main():
 
     # close over the weights: the exported artifact is self-contained
     def fwd(img):
-        out = model.apply(variables, img, False, True)
+        out = model.apply(variables, img, False, not args.raw)
+        if args.raw:
+            return out["outputs"]      # (B, A, 5+C) raw reg + logits
         return out["decoded"]          # (B, A, 5+C) pixels + sigmoided
 
     exported = jax_export.export(jax.jit(fwd))(

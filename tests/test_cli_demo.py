@@ -137,3 +137,66 @@ class Exp(B):
     outs2 = [os.path.join(dp, f) for dp, _, fs in os.walk(out_dir2)
              for f in fs]
     assert outs2, "no static-int8 demo output written"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("batch", [1, 2])
+def test_yolov_demo_online_cli(tmp_path, batch):
+    """tools/yolov_demo_online.py as a subprocess, per-frame and in
+    --online-batch mode (K frames per dispatch, YOLOVOnline.window +
+    FrameBatcher), on a 5-frame synthetic clip — 5 % 2 != 0 also
+    exercises the partial-tail replay path."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for f in range(5):
+        img = np.full((96, 128, 3), 80, np.uint8)
+        cv2.rectangle(img, (20 + 4 * f, 20), (70 + 4 * f, 60),
+                      (255, 255, 255), -1)
+        cv2.imwrite(str(frames_dir / f"{f:03d}.jpg"), img)
+
+    exp_file = tmp_path / "tiny_online_exp.py"
+    exp_file.write_text(f"""
+from tscd_tpu.exp.yolov_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = 0.33, 0.125
+        self.num_classes = 2
+        self.minimal_limit = 8
+        self.heads = 2
+        self.test_size = (96, 128)
+        self.output_dir = {str(tmp_path / "out")!r}
+        self.exp_name = "tiny_online"
+""")
+    sys.path.insert(0, REPO)
+    from tscd_tpu.exp import get_exp
+    from tscd_tpu.models.yolov import YOLOVOnline
+    from tscd_tpu.models.yolov_heads import init_online_bank
+    from tscd_tpu.train.checkpoint import save_checkpoint
+
+    exp = get_exp(str(exp_file))
+    model = YOLOVOnline(num_classes=2, depth=0.33, width=0.125,
+                        num_proposals=8, heads=2)
+    bank0 = init_online_bank(4 * 8, int(256 * 0.125))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 96, 128, 3), jnp.float32),
+                           bank0)
+    ckpt = save_checkpoint(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, str(tmp_path))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "yolov_demo_online.py"),
+         "-f", str(exp_file), "-c", ckpt, "--path", str(frames_dir),
+         "--bank_frames", "4", "--online-batch", str(batch),
+         "--output_dir", str(tmp_path / "demo_out")],
+        capture_output=True, text=True, timeout=520, env=env, cwd=REPO)
+    assert r.returncode == 0, f"online demo failed:\n{r.stderr[-2000:]}"
+    assert "5 frames" in r.stdout, r.stdout
+    assert os.path.exists(tmp_path / "demo_out" / "online_out.mp4")

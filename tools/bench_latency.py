@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--proposals", type=int, default=30)
     ap.add_argument("--bank-frames", type=int, default=31)
     ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--online-batch", type=int, nargs="*", default=[2, 4],
+                    help="K values for the batched online-window ladder "
+                         "(YOLOVOnline.window; [] disables)")
     args = ap.parse_args()
     # >=2 warmup calls: the first compiles, and timing must start from a
     # bank-carrying steady state (fresh-vs-carried state retrace trap,
@@ -124,6 +127,42 @@ def main():
 
     res = run(make_step(), variables)
 
+    # --online-batch ladder: K frames per dispatch through ONE compiled
+    # program (YOLOVOnline.window — batched backbone + in-graph bank
+    # scan), the mode tools/yolov_demo_online.py --online-batch serves.
+    # Reported as per-frame fps with the K-frame buffering latency.
+    batched = {}
+    for K in args.online_batch:
+        @jax.jit
+        def wstep(variables, xs, bank, K=K):
+            out, bank = model.apply(variables, xs, bank,
+                                    method=YOLOVOnline.window)
+            refined, original = yolov_eval_postprocess(out, K, C)
+            sel = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    out["use_refined"].reshape(
+                        (-1,) + (1,) * (a.ndim - 1)), a, b),
+                refined, original)
+            return sel, bank
+
+        xs = jnp.concatenate(frames[:K] * (1 + (K - 1) // len(frames)),
+                             0)[:K]
+        bank = bank0
+        for _ in range(2):
+            sel, bank = wstep(variables, xs, bank)
+        _ = float(jnp.sum(sel.score))
+        n_iters = max(1, args.frames // K)
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            sel, bank = wstep(variables, xs, bank)
+            _ = float(jnp.sum(sel.score))  # strict per-batch readback
+        dt = time.perf_counter() - t0
+        per_frame_ms = dt / (n_iters * K) * 1e3
+        batched[f"K{K}"] = {
+            "per_frame_ms": round(per_frame_ms, 2),
+            "fps": round(1e3 / per_frame_ms, 1),
+            "batch_latency_ms": round(dt / n_iters * 1e3, 2)}
+
     int8 = {}
     if not args.no_int8:
         try:
@@ -136,6 +175,7 @@ def main():
     print(json.dumps({
         "metric": f"yolov_online_{args.size}_latency_ms",
         **res,
+        "online_batch": batched,
         "int8": int8,
         "note": "includes ~1.5 ms tunnel dispatch floor per frame",
     }))

@@ -106,6 +106,31 @@ class YOLOVOnline(nn.Module):
         fpn_outs = self.backbone(x, train)
         return self.head(fpn_outs, bank, train)
 
+    def window(self, xs: jax.Array, bank: OnlineBank,
+               train: bool = False):
+        """K frames in ONE compiled program: batched backbone (the
+        MXU-heavy part runs at batch K), head unrolled per frame with
+        the bank threaded in-graph. Semantically identical to K
+        single-frame calls (pinned by tests/test_online_batch.py), but
+        it amortizes the per-dispatch overhead that caps batch-1
+        streaming at ~64 fps on this rig (PROFILE.md §latency:
+        F=2/4/8 -> 164/267/418 fps). Returns (stacked outputs with
+        leading dim K, final bank)."""
+        fpn_outs = self.backbone(xs, train)
+        outs = []
+        for f in range(xs.shape[0]):
+            o = self.head([lvl[f:f + 1] for lvl in fpn_outs], bank,
+                          train)
+            bank = o["bank"]
+            outs.append({k: v for k, v in o.items() if k != "bank"})
+        stacked = jax.tree_util.tree_map(
+            lambda *ls: (jnp.concatenate(ls, 0)
+                         if getattr(ls[0], "ndim", 0) > 0
+                         else jnp.stack(ls)), *outs)
+        # hw is per-level static metadata, not per-frame — keep one copy
+        stacked["hw"] = outs[0]["hw"]
+        return stacked, bank
+
 
 def yolov_eval_postprocess(head_out, num_frames: int, num_classes: int,
                            nms_thresh: float = 0.5,

@@ -119,11 +119,25 @@ def test_runner_matches_python_on_device(runner_bin, tiny_export,
         [want[:, :4], (want[:, 4] * want[:, 5])[:, None],
          want[:, 6:7]], -1)
 
+    # this deployment's plugin needs its create options (the same ones
+    # the python registration passes — axon/register/pjrt.py:160-210)
+    import uuid
+    gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+    rc = "1" if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1" else "0"
+    axon_opts = [
+        "--set-int", f"remote_compile={rc}",
+        "--set-int", "local_only=0",
+        "--set-int", "priority=0",
+        "--set-str", f"topology={gen}:1x1x1",
+        "--set-int", "n_slices=1",
+        "--set-str", f"session_id={uuid.uuid4()}",
+        "--set-int", f"rank={0xFFFF_FFFF}",
+    ]
     r = subprocess.run(
         [runner_bin, "--plugin", AXON_PLUGIN, "--module",
          tiny_export + ".mlir", "--height", str(H), "--width", str(W),
          "--classes", str(ncls), "--conf", "0.25", "--nms", "0.45",
-         "--max-out", "30"],
+         "--max-out", "30"] + axon_opts,
         capture_output=True, text=True, timeout=560)
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [ln for ln in r.stdout.splitlines() if ln.startswith("det ")]

@@ -95,6 +95,8 @@ const char kCompileOptions[] = {0x1a, 0x04, 0x20, 0x01, 0x28, 0x01};
 
 int main(int argc, char** argv) {
   std::string plugin_path, module_path, input_path, dump_raw;
+  std::vector<std::string> opt_keys, opt_vals;
+  std::vector<bool> opt_is_int;
   int H = 128, W = 128, C = 5, max_out = 30;
   float conf = 0.25f, nms = 0.45f;
   for (int i = 1; i < argc; ++i) {
@@ -113,11 +115,20 @@ int main(int argc, char** argv) {
     else if (a == "--conf") conf = std::atof(next().c_str());
     else if (a == "--nms") nms = std::atof(next().c_str());
     else if (a == "--max-out") max_out = std::atoi(next().c_str());
-    else if (a == "--help" || a == "-h") {
+    else if (a == "--set-str" || a == "--set-int") {
+      // plugin create options (PJRT_NamedValue): some plugins need
+      // deployment-specific options (e.g. a topology or session key)
+      std::string kv = next();
+      auto eq = kv.find('=');
+      if (eq == std::string::npos) die("--set-*: expected key=value");
+      opt_keys.push_back(kv.substr(0, eq));
+      opt_vals.push_back(kv.substr(eq + 1));
+      opt_is_int.push_back(a == "--set-int");
+    } else if (a == "--help" || a == "-h") {
       std::printf("usage: pjrt_runner --plugin <pjrt.so> --module "
                   "<stablehlo.mlir> [--height H --width W --classes C "
                   "--input img.f32 --dump-raw raw.f32 --conf x --nms x "
-                  "--max-out n]\n");
+                  "--max-out n --set-str k=v --set-int k=v]\n");
       return 0;
     } else {
       die("unknown arg " + a);
@@ -143,8 +154,30 @@ int main(int argc, char** argv) {
   check(g_api->PJRT_Plugin_Initialize(&init_args), "plugin init");
 
   // --- client + device -------------------------------------------------
+  std::vector<int64_t> int_vals(opt_keys.size());
+  std::vector<PJRT_NamedValue> create_opts(opt_keys.size());
+  for (size_t i = 0; i < opt_keys.size(); ++i) {
+    PJRT_NamedValue& nv = create_opts[i];
+    nv = PJRT_NamedValue{};
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = opt_keys[i].c_str();
+    nv.name_size = opt_keys[i].size();
+    if (opt_is_int[i]) {
+      int_vals[i] = std::strtoll(opt_vals[i].c_str(), nullptr, 0);
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = int_vals[i];
+      nv.value_size = 1;
+    } else {
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = opt_vals[i].c_str();
+      nv.value_size = opt_vals[i].size();
+    }
+  }
+
   PJRT_Client_Create_Args client_args{};
   client_args.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  client_args.create_options = create_opts.data();
+  client_args.num_options = create_opts.size();
   check(g_api->PJRT_Client_Create(&client_args), "client create");
   PJRT_Client* client = client_args.client;
 
@@ -248,9 +281,26 @@ int main(int argc, char** argv) {
     die("output K=" + std::to_string(K) + " but --classes says " +
         std::to_string(5 + C));
 
+  // explicit dense row-major host layout: with host_layout nullptr the
+  // readback uses the SOURCE buffer's layout, which on TPU is tiled —
+  // the bytes would come back reordered. Expressed as a tile-less
+  // Tiled layout (minor_to_major = [n-1..0]), the form jaxlib itself
+  // passes; this plugin rejects the Strides form.
+  std::vector<int64_t> m2m(bd.num_dims);
+  for (size_t i = 0; i < bd.num_dims; ++i)
+    m2m[i] = int64_t(bd.num_dims) - 1 - int64_t(i);
+  PJRT_Buffer_MemoryLayout host_layout{};
+  host_layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+  host_layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+  host_layout.tiled.struct_size =
+      PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+  host_layout.tiled.minor_to_major = m2m.data();
+  host_layout.tiled.minor_to_major_size = m2m.size();
+
   PJRT_Buffer_ToHostBuffer_Args d2h{};
   d2h.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
   d2h.src = out_buf;
+  d2h.host_layout = &host_layout;
   check(g_api->PJRT_Buffer_ToHostBuffer(&d2h), "d2h size");
   std::vector<float> raw(d2h.dst_size / sizeof(float));
   d2h.dst = raw.data();

@@ -68,6 +68,9 @@ class Exp(YoloxExp):
         # jax.checkpoint over the backbone: ~1 extra backward-pass
         # forward buys the window's activation memory (longer F)
         self.remat_backbone = False
+        # backbone family (reference ovis_tscd_base.py:59 backbone_name):
+        # "MCSP" | "Swin_Tiny" | "Swin_Base" | "Focal"
+        self.backbone_name = "MCSP"
         # eval windows upload as raw uint8 (bit-exact; 4x lighter)
         self.eval_uint8_transport = True
         # the stage-2 backbone is frozen (freeze_prefixes), so skip its
@@ -158,7 +161,8 @@ class Exp(YoloxExp):
                     test_conf=self.test_conf,
                     sparse_vid_towers=self.sparse_vid_towers,
                     remat_backbone=self.remat_backbone,
-                    stop_backbone_grad=self.stop_backbone_grad)
+                    stop_backbone_grad=self.stop_backbone_grad,
+                    backbone_name=self.backbone_name)
 
     def freeze_prefixes(self):
         """Parameter-path prefixes frozen during TSCD stage-2 training

@@ -21,6 +21,9 @@ class Exp(TSCDBaseExp):
         self.decouple_reg = False
         self.agg_type = "msa"
         self.ota_mode = False
+        # "MCSP" | "Swin_Tiny" | "Swin_Base" | "Focal"
+        # (reference ovis_v++ exps wire swin/focal the same way)
+        self.backbone_name = "MCSP"
         self.exp_name = os.path.splitext(os.path.basename(__file__))[0]
 
     def get_model(self):
@@ -36,12 +39,14 @@ class Exp(TSCDBaseExp):
                 num_proposals=num_p, heads=self.heads,
                 reconf=self.reconf, decouple_reg=self.decouple_reg,
                 agg_type=self.agg_type, sim_thresh=self.sim_thresh,
-                conf_sim_thresh=self.conf_sim_thresh)
+                conf_sim_thresh=self.conf_sim_thresh,
+                backbone_name=self.backbone_name)
         return YOLOV(
             num_classes=self.num_classes, depth=self.depth,
             width=self.width, act=self.act, depthwise=self.depthwise,
             num_proposals=num_p, heads=self.heads,
-            reconf=self.reconf, sim_thresh=self.sim_thresh)
+            reconf=self.reconf, sim_thresh=self.sim_thresh,
+            backbone_name=self.backbone_name)
 
     def get_trainer(self, args=None):
         from ..core.yolov_trainer import YOLOVTrainer

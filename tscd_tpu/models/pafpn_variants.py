@@ -154,3 +154,48 @@ class YOLOFPN(nn.Module):
         x2_in = jnp.concatenate([upsample2x(x2_in), x2], -1)
         out2 = embedding(x2_in, 128, "embed2")
         return (out2, out1, out0)
+
+
+def build_pafpn_backbone(name: str, depth: float, width: float,
+                         act: str = "silu", depthwise: bool = False,
+                         dtype: Any = jnp.float32, remat: bool = False):
+    """Exp `backbone_name` -> feature-pyramid module, mirroring the
+    reference exp wiring (exps/TSCD_OVIS/ovis_tscd_base.py:55-99):
+
+      "MCSP"      CSPDarknet YOLOPAFPN (the default)
+      "Swin_Tiny" Swin-T  -> neck out (192, 384, 768)
+      "Swin_Base" Swin-B  -> neck out (256, 512, 1024)
+      "Focal"     FocalNet (embed 192, conv-embed/postln/layerscale,
+                  the reference TSCD focal config) -> (256, 512, 1024)
+
+    All variants return (p3, p4, p5) stride 8/16/32 features, so
+    TSCD/YOLOV heads are backbone-agnostic (flax infers the neck's
+    input channels from the backbone's outputs). `remat` wraps the
+    module in jax.checkpoint (static `train` arg)."""
+    from .pafpn import YOLOPAFPN
+
+    if name in ("MCSP", "mcsp", None, ""):
+        cls, kw = YOLOPAFPN, dict(depth=depth, width=width, act=act,
+                                  depthwise=depthwise, dtype=dtype)
+    elif name == "Swin_Tiny":
+        cls, kw = YOLOPAFPN_Swin, dict(
+            variant="tiny", depth=depth, width=width, act=act,
+            depthwise=depthwise, out_channels=(192, 384, 768),
+            dtype=dtype)
+    elif name == "Swin_Base":
+        cls, kw = YOLOPAFPN_Swin, dict(
+            variant="base", depth=depth, width=width, act=act,
+            depthwise=depthwise, out_channels=(256, 512, 1024),
+            dtype=dtype)
+    elif "Focal" in name:
+        cls, kw = YOLOPAFPN_Focal, dict(
+            variant="focalnet_tscd", depth=depth, width=width, act=act,
+            depthwise=depthwise, out_channels=(256, 512, 1024),
+            dtype=dtype)
+    else:
+        raise ValueError(
+            f"unknown backbone_name {name!r} "
+            "(MCSP | Swin_Tiny | Swin_Base | Focal)")
+    if remat:
+        cls = nn.remat(cls, static_argnums=(2,))
+    return cls(**kw)

@@ -50,16 +50,19 @@ class TSCD(nn.Module):
     # FPN outputs instead — identical updates (tests/test_remat.py::
     # test_stop_backbone_grad_same_updates), backbone backward removed
     stop_backbone_grad: bool = False
+    # "MCSP" (CSPDarknet) | "Swin_Tiny" | "Swin_Base" | "Focal" — the
+    # reference exp wiring (exps/TSCD_OVIS/ovis_tscd_base.py:55-99)
+    backbone_name: str = "MCSP"
     dtype: Any = jnp.float32
 
     def setup(self):
-        # static_argnums: (module, x, train) — `train` must stay a
-        # Python bool through the checkpoint wrapper
-        backbone_cls = (nn.remat(YOLOPAFPN, static_argnums=(2,))
-                        if self.remat_backbone else YOLOPAFPN)
-        self.backbone = backbone_cls(self.depth, self.width, act=self.act,
-                                     depthwise=self.depthwise,
-                                     dtype=self.dtype)
+        from .pafpn_variants import build_pafpn_backbone
+        # remat static_argnums: (module, x, train) — `train` must stay
+        # a Python bool through the checkpoint wrapper
+        self.backbone = build_pafpn_backbone(
+            self.backbone_name, self.depth, self.width, act=self.act,
+            depthwise=self.depthwise, dtype=self.dtype,
+            remat=self.remat_backbone)
         self.head = TSCDHead(
             num_classes=self.num_classes, width=self.width, act=self.act,
             depthwise=self.depthwise, heads=self.heads,

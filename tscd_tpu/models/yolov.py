@@ -8,7 +8,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.postprocess import postprocess_refined
-from .pafpn import YOLOPAFPN
 from .yolov_heads import OnlineBank, YOLOVHead, YOLOVOnlineHead, YOLOVPlusHead
 
 
@@ -24,12 +23,14 @@ class YOLOV(nn.Module):
     heads: int = 4
     reconf: bool = False
     sim_thresh: float = 0.75
+    backbone_name: str = "MCSP"
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = YOLOPAFPN(self.depth, self.width, act=self.act,
-                                  depthwise=self.depthwise,
-                                  dtype=self.dtype)
+        from .pafpn_variants import build_pafpn_backbone
+        self.backbone = build_pafpn_backbone(
+            self.backbone_name, self.depth, self.width, act=self.act,
+            depthwise=self.depthwise, dtype=self.dtype)
         self.head = YOLOVHead(
             num_classes=self.num_classes, width=self.width, act=self.act,
             depthwise=self.depthwise, heads=self.heads,
@@ -57,12 +58,14 @@ class YOLOVPlus(nn.Module):
     agg_type: str = "mca"
     sim_thresh: float = 0.75
     conf_sim_thresh: float = 0.99
+    backbone_name: str = "MCSP"
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = YOLOPAFPN(self.depth, self.width, act=self.act,
-                                  depthwise=self.depthwise,
-                                  dtype=self.dtype)
+        from .pafpn_variants import build_pafpn_backbone
+        self.backbone = build_pafpn_backbone(
+            self.backbone_name, self.depth, self.width, act=self.act,
+            depthwise=self.depthwise, dtype=self.dtype)
         self.head = YOLOVPlusHead(
             num_classes=self.num_classes, width=self.width, act=self.act,
             depthwise=self.depthwise, heads=self.heads,
@@ -89,12 +92,14 @@ class YOLOVOnline(nn.Module):
     num_proposals: int = 30
     heads: int = 4
     sim_thresh: float = 0.75
+    backbone_name: str = "MCSP"
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = YOLOPAFPN(self.depth, self.width, act=self.act,
-                                  depthwise=self.depthwise,
-                                  dtype=self.dtype)
+        from .pafpn_variants import build_pafpn_backbone
+        self.backbone = build_pafpn_backbone(
+            self.backbone_name, self.depth, self.width, act=self.act,
+            depthwise=self.depthwise, dtype=self.dtype)
         self.head = YOLOVOnlineHead(
             num_classes=self.num_classes, width=self.width, act=self.act,
             depthwise=self.depthwise, heads=self.heads,

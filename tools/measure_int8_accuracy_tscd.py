@@ -85,8 +85,157 @@ def make_vid_dataset(root, n_videos=16, n_frames=16, size=256):
     return root
 
 
+def make_still_dataset(root, n_imgs=96, size=256):
+    """COCO-layout still dataset from the SAME class scheme as
+    make_vid_dataset, for the reference's stage-1 fine-tune
+    (README.md:88). Categories 1..4 = VID classes 0..3."""
+    import cv2
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    os.makedirs(os.path.join(root, "train2017"), exist_ok=True)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_imgs):
+        img = rng.integers(60, 100, (size, size, 3)).astype(np.uint8)
+        for _ in range(int(rng.integers(1, 4))):
+            cls = int(rng.integers(0, 4))
+            tall = cls % 2
+            gray = 118 if cls < 2 else 142
+            w = int(rng.integers(size // 6, size // 4))
+            h = int(w * (1.9 if tall else 1.0))
+            x0 = int(rng.integers(0, max(1, size - w)))
+            y0 = int(rng.integers(0, max(1, size - h)))
+            cv2.rectangle(img, (x0, y0), (x0 + w, y0 + h),
+                          (gray, gray, gray), -1)
+            annotations.append({
+                "id": ann_id, "image_id": i, "category_id": cls + 1,
+                "bbox": [x0, y0, min(w, size - x0), min(h, size - y0)],
+                "area": w * h, "iscrowd": 0})
+            ann_id += 1
+        fn = f"{i:012d}.jpg"
+        cv2.imwrite(os.path.join(root, "train2017", fn), img)
+        images.append({"id": i, "file_name": fn, "width": size,
+                       "height": size})
+    import json as _json
+    ann_dir = os.path.join(root, "annotations")
+    os.makedirs(ann_dir, exist_ok=True)
+    with open(os.path.join(ann_dir, "instances_train2017.json"),
+              "w") as f:
+        _json.dump({
+            "images": images, "annotations": annotations,
+            "categories": [{"id": c + 1, "name": f"c{c}"}
+                           for c in range(4)]}, f)
+    return root
+
+
+def run_two_stage(args, work, root):
+    """The reference 2-stage recipe (README.md:88-150) through the real
+    CLIs via tools/run_vid_workflow.py --int8-eval, at --width/--depth.
+    Adds an int8-DYNAMIC eval of the stage-2 checkpoint on top."""
+    import subprocess
+
+    tools = os.path.dirname(os.path.abspath(__file__))
+    coco_root = make_still_dataset(os.path.join(work, "coco"),
+                                   size=args.size)
+    out_dir = os.path.join(work, "out")
+    yolox_exp = os.path.join(work, "exp_stage1.py")
+    with open(yolox_exp, "w") as f:
+        f.write(f"""
+from tscd_tpu.exp.yolox_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = {args.depth!r}, {args.width!r}
+        self.num_classes = 30
+        self.input_size = self.test_size = ({args.size}, {args.size})
+        self.batch_size = 8
+        self.max_epoch = {args.stage1_epochs}
+        self.no_aug_epochs = {args.stage1_epochs * 2 // 3}
+        self.eval_interval = 100000
+        self.basic_lr_per_img = 0.10 / 64
+        self.warmup_epochs = 5
+        self.data_dir = {coco_root!r}
+        self.train_name = self.val_name = "train2017"
+        self.output_dir = {out_dir!r}
+        self.exp_name = "int8_tscd_stage1"
+        self.enable_mixup = False
+        self.mosaic_prob = 0.0
+        self.flip_prob = 0.0
+        self.seed = 0
+""")
+    tscd_exp = os.path.join(work, "exp_stage2.py")
+    with open(tscd_exp, "w") as f:
+        f.write(f"""
+import os
+from tscd_tpu.exp.tscd_base import Exp as B
+class Exp(B):
+    def __init__(self):
+        super().__init__()
+        self.depth, self.width = {args.depth!r}, {args.width!r}
+        self.num_classes = 30
+        self.minimal_limit = 20
+        self.heads = 4
+        self.lframe, self.gframe = 1, {args.gframe}
+        self.lframe_val, self.gframe_val = 1, {args.gframe}
+        self.input_size = self.test_size = ({args.size}, {args.size})
+        self.max_epoch = {args.epochs}
+        self.eval_interval = 100000
+        self.data_dir = {root!r}
+        self.train_seq_path = os.path.join({root!r}, "train_seq.npy")
+        self.val_seq_path = os.path.join({root!r}, "val_seq.npy")
+        self.output_dir = {out_dir!r}
+        self.exp_name = "int8_tscd_stage2"
+        self.seed = 0
+""")
+    import json as _json
+    r = subprocess.run(
+        [sys.executable, os.path.join(tools, "run_vid_workflow.py"),
+         "--yolox-exp", yolox_exp, "--tscd-exp", tscd_exp,
+         "--workdir", os.path.join(work, "wf"),
+         "--int8-eval", str(args.calib_windows)],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:], file=sys.stderr)
+        print(r.stderr[-3000:], file=sys.stderr)
+        sys.exit(1)
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+
+    # int8-DYNAMIC eval of the same stage-2 checkpoint for the 3-way
+    # comparison the single-stage mode reports
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(tools, "tscd_eval.py"), "-f",
+         tscd_exp, "-c", summary["stage2_ckpt"], "--int8"],
+        capture_output=True, text=True)
+    dyn = None
+    if r2.returncode == 0:
+        try:
+            dyn = float(r2.stdout.strip().splitlines()[-1].split()[0])
+        except (ValueError, IndexError):
+            pass
+    res = {
+        "model": f"tscd d{args.depth} w{args.width} @{args.size}px "
+                 f"F={args.gframe + 1} two-stage (default C_in gates)",
+        "fp": {"mAP": summary["rough_mAP"],
+               "AP50": summary["rough_AP50"]},
+        "int8_static": {"mAP": summary["int8_mAP"],
+                        "AP50": summary["int8_AP50"]},
+        "drop_static": summary["int8_mAP_drop"],
+    }
+    if dyn is not None:
+        res["int8_dynamic"] = {"mAP": dyn}
+        res["drop_dynamic"] = round(summary["rough_mAP"] - dyn, 4)
+    print(_json.dumps(res))
+
+
 def main():
     ap = argparse.ArgumentParser("measure_int8_accuracy_tscd")
+    ap.add_argument("--two-stage", action="store_true",
+                    help="the reference recipe: stage-1 still fine-tune "
+                         "-> frozen-backbone stage-2 (README.md:88-150) "
+                         "via tools/run_vid_workflow.py — gives a much "
+                         "stronger fp base than from-scratch")
+    ap.add_argument("--stage1-epochs", type=int, default=120)
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--width", type=float, default=1.0)
     ap.add_argument("--depth", type=float, default=1.0)
@@ -112,6 +261,8 @@ def main():
     work = args.workdir or tempfile.mkdtemp(prefix="int8_tscd_")
     root = make_vid_dataset(os.path.join(work, "vid"), args.videos,
                             args.frames, args.size)
+    if args.two_stage:
+        return run_two_stage(args, work, root)
     exp_file = os.path.join(work, "exp_int8_tscd.py")
     with open(exp_file, "w") as f:
         f.write(f"""

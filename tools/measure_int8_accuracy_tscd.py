@@ -162,6 +162,7 @@ class Exp(B):
         self.enable_mixup = False
         self.mosaic_prob = 0.0
         self.flip_prob = 0.0
+        self.ckpt_interval = 1000   # final-epoch save only (650 MB/ckpt)
         self.seed = 0
 """)
     tscd_exp = os.path.join(work, "exp_stage2.py")
@@ -186,6 +187,7 @@ class Exp(B):
         self.val_seq_path = os.path.join({root!r}, "val_seq.npy")
         self.output_dir = {out_dir!r}
         self.exp_name = "int8_tscd_stage2"
+        self.ckpt_interval = 1000   # final-epoch save only
         self.seed = 0
 """)
     import json as _json

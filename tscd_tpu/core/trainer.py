@@ -176,7 +176,12 @@ class Trainer:
                           f"mem {gpu_mem_usage_mb():.0f}MB "
                           f"iter {self.meter['iter_time'].avg:.3f}s "
                           f"ETA {eta} | {loss_str}")
-            self.save_ckpt(epoch)
+            # ckpt_interval: skip intermediate epoch saves (a width-1.0
+            # checkpoint is ~650 MB; per-epoch writes can dominate small
+            # runs). The final epoch always saves.
+            ci = getattr(exp, "ckpt_interval", 1) or 1
+            if (epoch + 1) % ci == 0 or epoch + 1 == exp.max_epoch:
+                self.save_ckpt(epoch)
             if (epoch + 1) % exp.eval_interval == 0:
                 ap = self.evaluate()
                 if ap > self.best_ap:

@@ -310,7 +310,12 @@ class TSCDTrainer:
                 self._one_iter(batch, epoch, n, iters_per_epoch, data_t0)
                 n += 1
                 data_t0 = time.time()
-            self.save_ckpt(epoch)
+            # ckpt_interval: skip intermediate epoch saves (a width-1.0
+            # checkpoint is ~650 MB; per-epoch writes can dominate small
+            # runs). The final epoch always saves.
+            ci = getattr(exp, "ckpt_interval", 1) or 1
+            if (epoch + 1) % ci == 0 or epoch + 1 == self.max_epoch:
+                self.save_ckpt(epoch)
             if (epoch + 1) % exp.eval_interval == 0:
                 ap = self.evaluate()
                 if ap > self.best_ap:

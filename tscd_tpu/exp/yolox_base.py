@@ -79,6 +79,10 @@ class Exp(BaseExp):
         self.batch_size = 16
         self.print_interval = 10
         self.eval_interval = 10
+        # save latest_ckpt every N epochs (final epoch always saves);
+        # raise for large models where 100s-of-MB per-epoch writes
+        # dominate short runs
+        self.ckpt_interval = 1
         self.exp_name = os.path.splitext(os.path.basename(__file__))[0]
         # test
         self.test_size = (640, 640)

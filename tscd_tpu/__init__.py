@@ -29,3 +29,21 @@ if _os.environ.get("JAX_PLATFORMS"):
                            _os.environ["JAX_PLATFORMS"])
     except RuntimeError:
         pass
+
+# Persistent XLA compile cache for every consumer of the framework
+# (CLIs, tests, notebooks). bench.py/__graft_entry__ enabled it
+# locally; the eval/train CLIs did not, which cost a full recompile of
+# e.g. a width-1.0 eval program (~5-10 min on this host) per process.
+# Opt out with TSCD_NO_COMPILE_CACHE=1; an explicit
+# JAX_COMPILATION_CACHE_DIR env var wins.
+if not _os.environ.get("TSCD_NO_COMPILE_CACHE"):
+    import jax as _jax2
+
+    try:
+        _jax2.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.expanduser("~/.cache/jax_comp_cache")))
+    except RuntimeError:
+        pass
